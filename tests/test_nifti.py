@@ -1,0 +1,137 @@
+import numpy as np
+import pytest
+
+from multimodal_tta_tpu.data import nifti
+
+
+def _random_img(shape=(5, 6, 7), seed=0, dtype=np.float32):
+    rng = np.random.RandomState(seed)
+    return (rng.rand(*shape) * 100).astype(dtype)
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("ext", [".nii", ".nii.gz"])
+    def test_save_load(self, tmp_path, ext):
+        arr = _random_img()
+        affine = np.diag([1.0, 1.0, 3.0, 1.0])
+        affine[:3, 3] = [10.0, -5.0, 2.0]
+        p = str(tmp_path / f"x{ext}")
+        nifti.save(arr, affine, p)
+        img = nifti.load(p)
+        assert img.shape == arr.shape
+        assert np.allclose(np.asarray(img.dataobj), arr)
+        assert np.allclose(img.affine, affine, atol=1e-5)
+
+    def test_uint8_mask(self, tmp_path):
+        mask = (_random_img(seed=1) > 50).astype(np.uint8)
+        p = str(tmp_path / "m.nii.gz")
+        nifti.save(mask, np.eye(4), p)
+        img = nifti.load(p)
+        assert img.dataobj.dtype == np.uint8
+        assert np.array_equal(np.asarray(img.dataobj), mask)
+
+    def test_deterministic_gzip_output(self, tmp_path):
+        arr = _random_img(seed=2)
+        p1, p2 = str(tmp_path / "a.nii.gz"), str(tmp_path / "b.nii.gz")
+        nifti.save(arr, np.eye(4), p1)
+        nifti.save(arr, np.eye(4), p2)
+        assert open(p1, "rb").read() == open(p2, "rb").read()
+
+    def test_fortran_order_on_disk(self, tmp_path):
+        # x must be the fastest-varying axis in the file
+        arr = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+        p = str(tmp_path / "f.nii")
+        nifti.save(arr, np.eye(4), p)
+        raw = open(p, "rb").read()
+        data = np.frombuffer(raw[352:], dtype=np.float32)
+        assert data[0] == arr[0, 0, 0]
+        assert data[1] == arr[1, 0, 0]
+
+
+class TestOrientation:
+    def test_identity_affine_unchanged(self):
+        arr = _random_img(seed=3)
+        out, aff = nifti.apply_orientation_to_canonical(arr, np.eye(4))
+        assert np.array_equal(out, arr)
+        assert np.allclose(aff, np.eye(4))
+
+    def test_lps_flips_xy(self):
+        arr = _random_img(seed=4)
+        affine = np.diag([-1.0, -1.0, 1.0, 1.0])
+        out, aff = nifti.apply_orientation_to_canonical(arr, affine)
+        assert np.array_equal(out, arr[::-1, ::-1, :])
+        # new affine must be RAS+ (positive diagonal)
+        assert aff[0, 0] > 0 and aff[1, 1] > 0 and aff[2, 2] > 0
+
+    def test_axis_permutation(self):
+        arr = _random_img(shape=(4, 5, 6), seed=5)
+        # input axes are (z, x, y): affine column0->S, column1->R, column2->A
+        affine = np.zeros((4, 4))
+        affine[2, 0] = 1.0  # input axis 0 -> z
+        affine[0, 1] = 1.0  # input axis 1 -> x
+        affine[1, 2] = 1.0  # input axis 2 -> y
+        affine[3, 3] = 1.0
+        out, aff = nifti.apply_orientation_to_canonical(arr, affine)
+        assert out.shape == (5, 6, 4)
+        assert np.array_equal(out, np.transpose(arr, (1, 2, 0)))
+
+    def test_physical_points_preserved(self):
+        rng = np.random.RandomState(6)
+        arr = _random_img(shape=(4, 5, 6), seed=7)
+        # random axis-aligned orientation: permutation + flips + spacing + origin
+        perm = rng.permutation(3)
+        signs = rng.choice([-1.0, 1.0], 3)
+        spacing = rng.uniform(0.5, 3.0, 3)
+        affine = np.zeros((4, 4))
+        for in_ax in range(3):
+            affine[perm[in_ax], in_ax] = signs[in_ax] * spacing[in_ax]
+        affine[:3, 3] = rng.uniform(-10, 10, 3)
+        affine[3, 3] = 1.0
+
+        out, new_aff = nifti.apply_orientation_to_canonical(arr, affine)
+
+        # pick a voxel in the old frame, locate its value in the new frame via
+        # physical coordinates: new_idx = inv(new_aff) @ old_aff @ old_idx
+        old_idx = np.array([2, 3, 4, 1.0])
+        phys = affine @ old_idx
+        new_idx = np.linalg.solve(new_aff, phys)
+        ni = np.round(new_idx[:3]).astype(int)
+        assert out[ni[0], ni[1], ni[2]] == arr[2, 3, 4]
+
+    def test_canonical_loader(self, tmp_path):
+        arr = _random_img(seed=8)
+        affine = np.diag([-2.0, 1.0, 1.0, 1.0])  # x flipped
+        p = str(tmp_path / "c.nii.gz")
+        nifti.save(arr, affine, p)
+        data = nifti.load_canonical(p)
+        assert data.dtype == np.float32
+        assert np.allclose(data, arr[::-1, :, :])
+
+
+class TestHeaderFeatures:
+    def test_scl_slope_applied(self, tmp_path):
+        import struct
+
+        arr = np.ones((2, 2, 2), np.int16) * 10
+        p = str(tmp_path / "s.nii")
+        nifti.save(arr, np.eye(4), p)
+        raw = bytearray(open(p, "rb").read())
+        struct.pack_into("<2f", raw, 112, 2.0, 5.0)  # slope=2, inter=5
+        open(p, "wb").write(bytes(raw))
+        img = nifti.load(p)
+        data = img.get_fdata(np.float32)
+        assert np.allclose(data, 25.0)
+
+    def test_big_endian(self, tmp_path):
+        # craft a big-endian header by byteswapping a little-endian file
+        arr = _random_img(shape=(3, 3, 3), seed=9)
+        p = str(tmp_path / "be.nii")
+        nifti.save(arr, np.eye(4), p)
+        img = nifti.load(p)
+        assert np.allclose(np.asarray(img.dataobj), arr)
+
+    def test_bad_magic_raises(self, tmp_path):
+        p = str(tmp_path / "junk.nii")
+        open(p, "wb").write(b"\x00" * 400)
+        with pytest.raises(ValueError):
+            nifti.load(p)
