@@ -1,0 +1,387 @@
+"""BraTS (GLI / SSA / PED) multi-source NIfTI dataset.
+
+Capability parity with the reference multi-source dataset (reference:
+src/datasets/brats.py:260-575): per-source processed.csv manifests with an
+explicit split column, modality completeness + unlabeled-drop filters, fixed
+region order ET/TC/WT, per-profile raw-label -> region maps, and per-sample
+domain/profile tags for per-domain evaluation under domain shift.
+
+Sample layout (TPU-native channels-last):
+  image: float32 [D, H, W, 4]  (D=Z, H=Y, W=X; channels t1n,t1c,t2w,t2f)
+  label: float32 [D, H, W, 3]  (region masks, ET/TC/WT order)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from ..conf.node import ConfigNode
+from ..registry import register_dataset_builder
+from ..utils.config import get_config, require_config
+from ..utils.logger import get_logger
+from .base_builder import BaseDatasetBuilder
+from .nifti import load_canonical
+from .transforms import get_seg_transforms
+
+REGION_ORDER: List[str] = ["ET", "TC", "WT"]
+EXPECTED_REGION_CHANNELS: int = 3
+
+# Per-profile raw-label taxonomies (reference: src/datasets/brats.py:58-77):
+#   gli/ssa: NETC=1, SNFH=2, ET=3 (gli may also carry RC=4, ignored by default)
+#   ped:     ET=1, NET=2, CC=3, ED=4
+DEFAULT_REGION_MAPS: Dict[str, Dict[str, List[int]]] = {
+    "gli": {"ET": [3], "TC": [1, 3], "WT": [1, 2, 3]},
+    "ssa": {"ET": [3], "TC": [1, 3], "WT": [1, 2, 3]},
+    "ped": {"ET": [1], "TC": [1, 2, 3], "WT": [1, 2, 3, 4]},
+}
+
+
+def _resolve_path(path: Any, root_dir: Optional[str]) -> str:
+    if path is None or (isinstance(path, float) and np.isnan(path)):
+        return ""
+    p = str(path)
+    if root_dir and not os.path.isabs(p):
+        return os.path.join(root_dir, p)
+    return p
+
+
+def safe_round_label(label: np.ndarray, tol: float = 1e-3) -> np.ndarray:
+    """Round float labels to ints (non-integer values signal a bad resample
+    upstream; reference: src/datasets/brats.py:95-111)."""
+    if label.dtype.kind in ("i", "u"):
+        return label.astype(np.int16, copy=False)
+    rounded = np.rint(label)
+    return rounded.astype(np.int16, copy=False)
+
+
+def build_region_masks_from_raw(
+    y_id: np.ndarray, region_map: Dict[str, Sequence[int]]
+) -> np.ndarray:
+    """Raw id map [D,H,W] int -> region masks [D,H,W,R] float32 in REGION_ORDER."""
+    masks: List[np.ndarray] = []
+    for rname in REGION_ORDER:
+        vals = list(region_map.get(rname, []))
+        if not vals:
+            masks.append(np.zeros(y_id.shape, dtype=np.float32))
+            continue
+        m = np.isin(y_id, np.asarray(vals, dtype=y_id.dtype))
+        masks.append(m.astype(np.float32))
+    return np.stack(masks, axis=-1)
+
+
+@dataclass(frozen=True)
+class SourceSpec:
+    name: str
+    csv_path: str
+    profile: str
+    root_dir: Optional[str]
+    include_splits: Dict[str, List[str]]
+    region_map: Dict[str, List[int]]
+
+
+def parse_processed_csv_to_cases(
+    csv_path: str,
+    modality_order: Sequence[str],
+    *,
+    root_dir: Optional[str],
+    drop_unlabeled: bool,
+    split_col: str = "split",
+    subject_col: str = "subject_id",
+    modality_col: str = "modality",
+    img_col: str = "img_path",
+    label_col: str = "label_path",
+    logger=None,
+) -> Dict[str, Dict[str, Any]]:
+    """Long-format CSV (one row per subject×modality) -> per-case record
+    (reference: src/datasets/brats.py:170-253)."""
+    logger = logger or get_logger()
+    df = pd.read_csv(csv_path)
+
+    for c in [subject_col, modality_col, img_col, split_col]:
+        if c not in df.columns:
+            raise ValueError(f"[BraTS] CSV missing required column '{c}': {csv_path}")
+    if label_col not in df.columns:
+        df[label_col] = np.nan
+
+    cases: Dict[str, Dict[str, Any]] = {}
+    required_mods = [m.lower() for m in modality_order]
+
+    for _, row in df.iterrows():
+        case_id = str(row[subject_col])
+        mod = str(row[modality_col]).strip().lower()
+        split = str(row[split_col]).strip().lower()
+        img_path = _resolve_path(row[img_col], root_dir)
+        label_path = _resolve_path(row[label_col], root_dir) if pd.notna(row[label_col]) else ""
+
+        if case_id not in cases:
+            cases[case_id] = {"split": split, "modalities": {}, "label": label_path}
+        else:
+            if cases[case_id]["split"] != split:
+                logger.warning(
+                    f"[BraTS] Inconsistent split for case={case_id}: "
+                    f"{cases[case_id]['split']} vs {split}. Keep the first."
+                )
+            if label_path and cases[case_id]["label"] and cases[case_id]["label"] != label_path:
+                logger.warning(
+                    f"[BraTS] Inconsistent label_path for case={case_id}. Keep the first."
+                )
+            if not cases[case_id]["label"] and label_path:
+                cases[case_id]["label"] = label_path
+        cases[case_id]["modalities"][mod] = img_path
+
+    valid: Dict[str, Dict[str, Any]] = {}
+    dropped_missing_mod = 0
+    dropped_no_label = 0
+    for case_id, info in cases.items():
+        if any(m not in info["modalities"] for m in required_mods):
+            dropped_missing_mod += 1
+            continue
+        if drop_unlabeled and not info.get("label"):
+            dropped_no_label += 1
+            continue
+        valid[case_id] = info
+
+    logger.info(
+        f"[BraTS] Parsed {csv_path}: total_cases={len(cases)}, valid_cases={len(valid)}, "
+        f"dropped_missing_mod={dropped_missing_mod}, dropped_no_label={dropped_no_label}"
+    )
+    return valid
+
+
+class BratsMultiSourceNiftiDataset:
+    def __init__(
+        self,
+        sources: List[SourceSpec],
+        split: str,
+        modality_order: Sequence[str] = ("t1n", "t1c", "t2w", "t2f"),
+        expected_shape: Optional[Tuple[int, int, int]] = None,
+        drop_unlabeled: bool = True,
+        transform: Optional[Callable] = None,
+        logger=None,
+        strict_label_values: bool = False,
+    ):
+        self.logger = logger or get_logger()
+        self.split = str(split).lower()
+        self.modality_order = [m.lower() for m in modality_order]
+        self.expected_shape = tuple(expected_shape) if expected_shape is not None else None
+        self.drop_unlabeled = bool(drop_unlabeled)
+        self.transform = transform
+        self.strict_label_values = bool(strict_label_values)
+        self._epoch = 0
+
+        self._index: List[Tuple[SourceSpec, str, Dict[str, Any]]] = []
+        for src in sources:
+            if not os.path.exists(src.csv_path):
+                raise FileNotFoundError(f"[BraTS] CSV not found: {src.csv_path}")
+            cases = parse_processed_csv_to_cases(
+                csv_path=src.csv_path,
+                modality_order=self.modality_order,
+                root_dir=src.root_dir,
+                drop_unlabeled=self.drop_unlabeled,
+                logger=self.logger,
+            )
+            include_vals = [str(v).lower() for v in src.include_splits.get(self.split, [self.split])]
+            for case_id, info in cases.items():
+                if str(info["split"]).lower() in include_vals:
+                    self._index.append((src, case_id, info))
+
+        if not self._index:
+            raise ValueError(
+                f"[BraTS] No samples after filtering. split='{self.split}'. "
+                f"Check include_splits and CSV 'split' values."
+            )
+        self.logger.info(
+            f"[BraTS] Built dataset: split='{self.split}', n={len(self._index)}, "
+            f"sources={[s.name for s in sources]}"
+        )
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        src, case_id, info = self._index[idx]
+
+        vols: List[np.ndarray] = []
+        for mod in self.modality_order:
+            p = info["modalities"][mod]
+            if not os.path.exists(p):
+                raise FileNotFoundError(f"[BraTS] Missing image file: {p} (case={case_id}, mod={mod})")
+            vol = load_canonical(p, dtype=np.float32)  # (X,Y,Z)
+            self._validate_shape(vol, f"image/{mod}", case_id)
+            vols.append(vol.transpose(2, 1, 0))  # (Z,Y,X)=(D,H,W)
+
+        image = np.stack(vols, axis=-1).astype(np.float32)  # [D,H,W,C]
+
+        label_path = info.get("label", "")
+        if (not label_path) or (not os.path.exists(label_path)):
+            y_np = np.zeros(image.shape[:3], dtype=np.int16)
+        else:
+            y = load_canonical(label_path, dtype=np.float32)
+            self._validate_shape(y, "label", case_id)
+            y_np = safe_round_label(y).transpose(2, 1, 0)  # [D,H,W]
+
+        if self.strict_label_values:
+            uniq = np.unique(y_np)
+            bad = [int(v) for v in uniq.tolist() if v < 0 or v > 20]
+            if bad:
+                raise ValueError(
+                    f"[BraTS] Abnormal label values {bad} in case={case_id} src={src.name}. "
+                    f"This often indicates non-nearest interpolation in preprocessing."
+                )
+
+        y_reg = build_region_masks_from_raw(y_np.astype(np.int64), src.region_map)  # [D,H,W,3]
+
+        if self.transform is not None:
+            rng = np.random.Generator(np.random.Philox(key=[self._epoch, idx]))
+            image, y_reg = self.transform(image, y_reg, rng)
+
+        if y_reg.ndim != 4 or int(y_reg.shape[-1]) != EXPECTED_REGION_CHANNELS:
+            raise ValueError(
+                f"[BraTS] Region label shape must be [D,H,W,3], got {tuple(y_reg.shape)} "
+                f"(case={case_id}, src={src.name})"
+            )
+
+        return {
+            "image": image,
+            "label": y_reg,
+            "case_id": case_id,
+            "domain": src.name,
+            "profile": src.profile,
+            "index": int(idx),
+        }
+
+    def _validate_shape(self, arr: np.ndarray, what: str, case_id: str) -> None:
+        if self.expected_shape is None:
+            return
+        if tuple(arr.shape) != self.expected_shape:
+            raise ValueError(
+                f"[BraTS] Shape mismatch for {what} case={case_id}: got {tuple(arr.shape)}, "
+                f"expected {self.expected_shape}."
+            )
+
+
+@register_dataset_builder("brats")
+class BratsMultiNiftiBuilder(BaseDatasetBuilder):
+    """Config schema matches reference: src/datasets/brats.py:408-497."""
+
+    def __init__(self, config: ConfigNode):
+        super().__init__(config)
+        dcfg = require_config(config, "dataset")
+
+        exp_shape = get_config(dcfg, "expected_shape", None)
+        self.expected_shape = tuple(exp_shape) if exp_shape is not None else None
+        self.strict_label_values = bool(get_config(dcfg, "strict_label_values", False))
+
+        sources_cfg = get_config(dcfg, "sources", None)
+        if sources_cfg is None:
+            raise ValueError("[brats] 'dataset.sources' is required for multi-source loading.")
+
+        self.sources: List[SourceSpec] = []
+        for sc in sources_cfg:
+            sname = str(require_config(sc, "name", type_=str))
+            csv_path = str(require_config(sc, "csv_path", type_=str))
+            profile = str(get_config(sc, "profile", "gli")).lower()
+            root_dir = get_config(sc, "root_dir", None)
+
+            inc = get_config(sc, "include_splits", ConfigNode())
+            if hasattr(inc, "to_container"):
+                inc = inc.to_container()
+            include_splits = {
+                str(k).lower(): [str(v).lower() for v in list(vals)] for k, vals in dict(inc).items()
+            }
+            include_splits.setdefault("train", ["train"])
+            include_splits.setdefault("val", ["val"])
+            include_splits.setdefault("test", ["test"])
+
+            region_map = DEFAULT_REGION_MAPS.get(profile, DEFAULT_REGION_MAPS["gli"])
+            rm_override = get_config(sc, "region_map", None)
+            if rm_override is not None:
+                if hasattr(rm_override, "to_container"):
+                    rm_override = rm_override.to_container()
+                region_map = {k: [int(x) for x in list(v)] for k, v in dict(rm_override).items()}
+            else:
+                region_map = {k: [int(x) for x in list(v)] for k, v in region_map.items()}
+
+            self.sources.append(
+                SourceSpec(
+                    name=sname,
+                    csv_path=csv_path,
+                    profile=profile,
+                    root_dir=root_dir,
+                    include_splits=include_splits,
+                    region_map=region_map,
+                )
+            )
+
+        self.modality_order = ("t1n", "t1c", "t2w", "t2f")
+
+    def build_transform(self, split_norm: str):
+        tcfg = get_config(self.config, "training.data.transforms", ConfigNode())
+        normalize = bool(require_config(tcfg, "normalize"))
+        geom_aug = bool(require_config(tcfg, "geom_aug"))
+        intensity_aug = bool(require_config(tcfg, "intensity_aug"))
+        mean = get_config(tcfg, "mean", [0.0, 0.0, 0.0, 0.0])
+        std = get_config(tcfg, "std", [1.0, 1.0, 1.0, 1.0])
+        intensity_policy = get_config(tcfg, "intensity_policy", None)
+        on_device = bool(get_config(tcfg, "on_device", False))
+
+        image_size = get_config(tcfg, "image_size", None)
+        if image_size is not None:
+            if len(list(image_size)) != 3:
+                raise ValueError("[brats] training.data.transforms.image_size must be [D,H,W]")
+            image_size = [int(x) for x in list(image_size)]
+
+        return get_seg_transforms(
+            ndim=3,
+            split=split_norm,
+            normalize=normalize,
+            geom_aug=geom_aug,
+            intensity_aug=intensity_aug,
+            mean=mean,
+            std=std,
+            expected_label_channels=EXPECTED_REGION_CHANNELS,
+            region_label_as_float=True,
+            image_size=image_size,
+            intensity_policy=intensity_policy,
+            channel_names=list(self.modality_order),
+            on_device=on_device,
+        )
+
+    def build_dataset(self, split: str, **overrides) -> Optional[BratsMultiSourceNiftiDataset]:
+        split_norm = self._normalize_split(split)
+
+        # Short-circuit splits disabled for all sources (reference: brats.py:506-520)
+        enabled = any(
+            len(s.include_splits.get(split_norm, [])) > 0 for s in self.sources
+        )
+        if not enabled:
+            self.logger.warning(
+                f"[brats] split='{split_norm}' is disabled by include_splits for all sources; "
+                f"return None."
+            )
+            return None
+
+        transform = overrides.get("transform", None)
+        if transform is None:
+            transform = self.build_transform(split_norm)
+
+        return BratsMultiSourceNiftiDataset(
+            sources=self.sources,
+            split=split_norm,
+            modality_order=self.modality_order,
+            expected_shape=overrides.get("expected_shape", self.expected_shape),
+            drop_unlabeled=True,
+            transform=transform,
+            logger=self.logger,
+            strict_label_values=bool(
+                overrides.get("strict_label_values", self.strict_label_values)
+            ),
+        )
