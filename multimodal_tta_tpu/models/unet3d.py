@@ -1,0 +1,143 @@
+"""3D residual UNet — the framework's primary segmentation model.
+
+Capability-equivalent to the reference's config-driven MONAI UNet subclass
+(reference: src/models/unet.py:14-69): channels [32,64,128,256,512], strides
+[2,2,2,2], ``num_res_units`` residual subunits per block, norm/act/dropout
+from config. Registered as "unet" so launch scripts select it unchanged.
+
+TPU-first design: NDHWC layout, transposed-conv upsampling, optional
+``jax.checkpoint`` rematerialisation of encoder stages for whole-volume
+training (SURVEY.md §7.3 hard-part 4), and a ``compute_dtype`` knob so the
+whole forward runs in bfloat16 on the MXU while params stay fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..registry import register_model
+from ..utils.config import get_config
+from .layers import ConvBlock, ResidualUnit, TransposedConvUp
+
+
+@register_model("unet")
+class UNet3D(nn.Module):
+    in_channels: int = 2
+    num_classes: int = 1
+    channels: Sequence[int] = (32, 64, 128, 256, 512)
+    strides: Sequence[int] = (2, 2, 2, 2)
+    num_res_units: int = 2
+    act: str = "RELU"
+    norm: str = "INSTANCE"
+    dropout: float = 0.0
+    spatial_dims: int = 3
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @classmethod
+    def from_config(cls, cfg, **overrides) -> "UNet3D":
+        """Build from a model config node (same keys as reference unet.py:27-48)."""
+        kw = dict(
+            in_channels=int(get_config(cfg, "in_channels", 2)),
+            num_classes=int(get_config(cfg, "num_classes", 1)),
+            channels=tuple(int(c) for c in get_config(cfg, "channels", [32, 64, 128, 256, 512])),
+            strides=tuple(int(s) for s in get_config(cfg, "strides", [2, 2, 2, 2])),
+            num_res_units=int(get_config(cfg, "num_res_units", 2)),
+            act=str(get_config(cfg, "act", "RELU")),
+            norm=str(get_config(cfg, "norm", "INSTANCE")),
+            dropout=float(get_config(cfg, "dropout", 0.0)),
+            spatial_dims=int(get_config(cfg, "spatial_dims", 3)),
+        )
+        kw.update(overrides)
+        if kw["spatial_dims"] != 3:
+            raise ValueError("UNet3D supports spatial_dims=3 only")
+        if len(kw["strides"]) != len(kw["channels"]) - 1:
+            raise ValueError(
+                f"len(strides)={len(kw['strides'])} must equal len(channels)-1="
+                f"{len(kw['channels']) - 1}"
+            )
+        return cls(**kw)
+
+    def _block(self, feat: int, stride: int, name: str):
+        if self.num_res_units > 0:
+            return ResidualUnit(
+                features=feat,
+                strides=stride,
+                subunits=self.num_res_units,
+                norm=self.norm,
+                act=self.act,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                name=name,
+            )
+        return ConvBlock(
+            features=feat,
+            strides=stride,
+            norm=self.norm,
+            act=self.act,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name=name,
+        )
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        """x: [B, D, H, W, C_in] -> logits [B, D, H, W, num_classes].
+
+        Topology (channels [32,64,128,256,512], strides [2,2,2,2]):
+          enc0..enc3 downsample to R/2..R/16, bottleneck at R/16 with 512ch;
+          decoder mirrors with transposed-conv up + skip concat, the final
+          stage concatenating the raw input at full resolution (the same
+          skip alignment as the reference's explicit decoder —
+          unet_multimodal_midfusion.py:172-193, 240-250).
+        """
+        if x.shape[-1] != self.in_channels:
+            raise ValueError(f"UNet3D expects {self.in_channels} input channels, got {x.shape[-1]}")
+        chs = list(self.channels)
+        sts = list(self.strides)
+        n_levels = len(sts)
+        total_stride = 1
+        for s in sts:
+            total_stride *= int(s)
+        for ax, dim in enumerate(x.shape[1:4]):
+            if dim % total_stride != 0:
+                raise ValueError(
+                    f"UNet3D spatial dim {ax} = {dim} must be divisible by the total "
+                    f"downsampling factor {total_stride} (strides={sts})"
+                )
+        x = x.astype(self.dtype)
+
+        def run(blk, h):
+            if self.remat:
+                return jax.checkpoint(lambda a: blk(a, train=train))(h)
+            return blk(h, train=train)
+
+        # ---- encoder ----
+        skips = []  # outputs at R/2, R/4, ..., R/2^n
+        h = x
+        for i in range(n_levels):
+            h = run(self._block(chs[i], sts[i], f"enc{i}"), h)
+            skips.append(h)
+
+        # ---- bottleneck (stride 1, deepest channels) ----
+        h = run(self._block(chs[-1], 1, "bottleneck"), h)
+
+        # ---- decoder ----
+        for i in reversed(range(n_levels)):
+            h = TransposedConvUp(features=chs[i], strides=sts[i], dtype=self.dtype, name=f"up{i}")(h)
+            skip = skips[i - 1] if i > 0 else x
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = run(self._block(chs[i], 1, f"dec{i}"), h)
+
+        logits = nn.Conv(
+            features=self.num_classes,
+            kernel_size=(1, 1, 1),
+            padding="SAME",
+            dtype=jnp.float32,
+            name="head",
+        )(h.astype(jnp.float32))
+        return logits

@@ -1,0 +1,127 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_tta_tpu.conf import ConfigNode
+from multimodal_tta_tpu.models import UNet3D, MultimodalUNetMidFusion
+from multimodal_tta_tpu.registry import get_model
+
+SMALL = dict(channels=(4, 8, 16, 32, 64), strides=(2, 2, 2, 2))
+
+
+class TestUNet3D:
+    def test_registered(self):
+        assert get_model("unet") is UNet3D
+
+    def test_from_config(self):
+        cfg = ConfigNode(
+            {
+                "in_channels": 2,
+                "num_classes": 1,
+                "channels": [4, 8, 16, 32, 64],
+                "strides": [2, 2, 2, 2],
+                "num_res_units": 2,
+                "norm": "INSTANCE",
+                "act": "RELU",
+            }
+        )
+        m = UNet3D.from_config(cfg)
+        assert m.in_channels == 2 and m.channels == (4, 8, 16, 32, 64)
+
+    def test_forward_shape(self, rng_key):
+        m = UNet3D(in_channels=2, num_classes=1, **SMALL)
+        x = jnp.zeros((1, 16, 16, 16, 2))
+        vars_ = m.init(rng_key, x)
+        y = m.apply(vars_, x)
+        assert y.shape == (1, 16, 16, 16, 1)
+        assert y.dtype == jnp.float32
+
+    def test_forward_brats_shape(self, rng_key):
+        m = UNet3D(in_channels=4, num_classes=3, **SMALL)
+        x = jnp.zeros((2, 16, 32, 16, 4))
+        vars_ = m.init(rng_key, x)
+        y = m.apply(vars_, x)
+        assert y.shape == (2, 16, 32, 16, 3)
+
+    def test_jit_and_grad(self, rng_key):
+        m = UNet3D(in_channels=1, num_classes=1, **SMALL, num_res_units=1)
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 16, 16, 1), jnp.float32)
+        vars_ = m.init(rng_key, x)
+
+        @jax.jit
+        def loss_fn(params, x):
+            y = m.apply({"params": params}, x)
+            return jnp.mean(y**2)
+
+        g = jax.grad(loss_fn)(vars_["params"], x)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        assert any(float(jnp.sum(jnp.abs(l))) > 0 for l in leaves)
+
+    def test_batch_norm_mode(self, rng_key):
+        m = UNet3D(in_channels=1, num_classes=1, norm="BATCH", **SMALL, num_res_units=1)
+        x = jnp.asarray(np.random.RandomState(1).randn(2, 16, 16, 16, 1), jnp.float32)
+        vars_ = m.init(rng_key, x, train=True)
+        assert "batch_stats" in vars_
+        y, updates = m.apply(vars_, x, train=True, mutable=["batch_stats"])
+        assert y.shape == (2, 16, 16, 16, 1)
+        # eval mode uses running stats, no mutation needed
+        y2 = m.apply(vars_, x, train=False)
+        assert np.isfinite(np.asarray(y2)).all()
+
+    def test_instance_norm_stateless(self, rng_key):
+        m = UNet3D(in_channels=1, num_classes=1, norm="INSTANCE", **SMALL, num_res_units=1)
+        x = jnp.zeros((1, 16, 16, 16, 1))
+        vars_ = m.init(rng_key, x)
+        assert "batch_stats" not in vars_
+
+    def test_bad_strides_raises(self):
+        with pytest.raises(ValueError, match="strides"):
+            UNet3D.from_config(ConfigNode({"channels": [4, 8], "strides": [2, 2]}))
+
+    def test_wrong_channels_raises(self, rng_key):
+        m = UNet3D(in_channels=2, num_classes=1, **SMALL)
+        with pytest.raises(ValueError, match="input channels"):
+            m.init(rng_key, jnp.zeros((1, 16, 16, 16, 3)))
+
+
+class TestMidFusion:
+    def test_registered_both_names(self):
+        assert get_model("unet_multimodal_midfusion") is MultimodalUNetMidFusion
+        assert get_model("unet_multimodal_deepfusion") is MultimodalUNetMidFusion
+
+    def test_forward_shape(self, rng_key):
+        m = MultimodalUNetMidFusion(
+            num_modalities=4, num_classes=3, channels=(2, 4, 8, 16, 32), strides=(2, 2, 2, 2),
+            num_res_units=1,
+        )
+        x = jnp.zeros((1, 16, 16, 16, 4))
+        vars_ = m.init(rng_key, x)
+        y = m.apply(vars_, x)
+        assert y.shape == (1, 16, 16, 16, 3)
+
+    def test_domain_logits(self, rng_key):
+        m = MultimodalUNetMidFusion(
+            num_modalities=2, num_classes=1, channels=(2, 4, 8, 16, 32), strides=(2, 2, 2, 2),
+            num_res_units=1, domain_enabled=True,
+        )
+        x = jnp.zeros((3, 16, 16, 16, 2))
+        vars_ = m.init(rng_key, x)
+        y, dom = m.apply(vars_, x, return_domain_logits=True)
+        assert y.shape == (3, 16, 16, 16, 1)
+        assert dom.shape == (3 * 2, 2)  # [B*M, M]
+
+    def test_from_config(self):
+        cfg = ConfigNode(
+            {
+                "num_modalities": 4,
+                "num_classes": 3,
+                "channels": [2, 4, 8, 16, 32],
+                "domain_classifier": {"enabled": False, "loss_weight": 0.0},
+            }
+        )
+        m = MultimodalUNetMidFusion.from_config(cfg)
+        assert m.num_modalities == 4 and not m.domain_enabled
+        assert m.get_domain_loss_weight() == 0.0
