@@ -1,0 +1,52 @@
+"""CLI entry point.
+
+Same launch grammar as the reference's Hydra entry (reference: main.py:23-52):
+
+    python main.py task=hecktor21 dataset=hecktor21 model=unet \
+        training.epochs=300 training.batch_size=8 dataset.target_center=CHUS
+
+Config composition (defaults list, group overrides, dotted value overrides,
+run-dir templating + chdir) is provided by the framework's own composer so
+the reference's launch scripts run unchanged without external Hydra.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from multimodal_tta_tpu.conf import compose, setup_run_dir
+from multimodal_tta_tpu.utils.logger import setup_logger
+
+
+def main(argv=None) -> None:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    cfg = compose(os.path.join(REPO_ROOT, "configs"), "config", argv)
+
+    run_dir = setup_run_dir(cfg)
+    logger = setup_logger(log_file=os.path.join(run_dir, "train.log"))
+    logger.info(f"Run dir: {run_dir}")
+    logger.info(f"Running Configs:\n{cfg.to_yaml()}")
+
+    from multimodal_tta_tpu.core import ExperimentManager
+
+    manager = ExperimentManager(cfg)
+    manager.setup_model()
+    manager.setup_data(mode="train")
+    manager.setup_optimizer()
+    manager.setup_scheduler()
+    manager.setup_trainer(run_dir)
+
+    try:
+        manager.train(cfg.training.epochs)
+    except Exception as e:
+        logger.error(f"[Train] Training failed: {e}")
+        raise
+
+
+if __name__ == "__main__":
+    main()

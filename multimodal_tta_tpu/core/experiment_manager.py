@@ -1,0 +1,272 @@
+"""Experiment orchestration.
+
+Public API parity with the reference manager (reference:
+src/core/experiment_manager.py:31-396): ``ExperimentManager(cfg)`` then
+``setup_model / setup_data / setup_optimizer / setup_scheduler /
+setup_trainer / train``. Differences are TPU-native:
+
+  - device selection builds a jax.sharding.Mesh (data axis over all selected
+    chips) instead of picking a cuda device; DataParallel is subsumed by the
+    jitted SPMD step
+  - the "model" is a flax Module + initialized variables wrapped in a
+    TrainState; optimizers are optax with the same no-decay param-group rules
+  - seeding returns an explicit root PRNG key
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..conf.node import ConfigNode
+from ..parallel.mesh import mesh_from_config, replicated
+from ..registry import get_dataset_builder, get_evaluation_strategy, get_model
+from ..utils.config import get_config, require_config
+from ..utils.logger import get_logger
+from ..utils.metrics import set_random_seed
+from .hooks import CheckpointHook, EarlyStoppingHook, MemoryMonitorHook, MetricsLoggerHook, TimerHook
+from .optim import EpochScheduler, build_optimizer
+from .train_state import TrainState, param_count
+from .trainers.seg_trainer import SegTrainer
+
+# Import for registration side effects (same pattern as reference main.py:18-20).
+from .. import data as _data  # noqa: F401
+from .. import evaluation as _evaluation  # noqa: F401
+from .. import models as _models  # noqa: F401
+
+
+class ExperimentManager:
+    def __init__(self, config: ConfigNode):
+        if not isinstance(config, ConfigNode):
+            raise TypeError("ExperimentManager expects a ConfigNode configuration")
+        self.config = config
+        self.logger = get_logger()
+
+        seed = require_config(config, "task.seed")
+        deterministic = str(get_config(config, "task.deterministic", "practical"))
+        self.root_key = set_random_seed(seed, deterministic)
+
+        self.task_name = require_config(config, "task.name")
+        self.eval_strategy_name = get_config(config, "task.eval_strategy")
+
+        self.mesh = mesh_from_config(config)
+
+        self.module = None
+        self.variables = None
+        self.state: Optional[TrainState] = None
+        self.tx = None
+        self.base_lr: Optional[float] = None
+        self.scheduler: Optional[EpochScheduler] = None
+        self.trainer = None
+
+        self.train_loader = None
+        self.val_loader = None
+        self.test_loader = None
+
+        self.logger.info(f"Experiment Manager initialized for task: {self.task_name}")
+        self.logger.info(f"Random seed: {seed} | deterministic: {deterministic}")
+
+    # ------------------------------------------------------------------
+    def _input_shape(self) -> Tuple[int, ...]:
+        """Per-sample input shape [D,H,W,C] from transforms + model config."""
+        image_size = get_config(self.config, "training.data.transforms.image_size", None)
+        if image_size is None:
+            raise ValueError(
+                "training.data.transforms.image_size ([D,H,W]) is required to "
+                "initialize model parameters"
+            )
+        d, h, w = (int(x) for x in image_size)
+        c = int(get_config(self.config, "model.in_channels", get_config(self.config, "model.num_modalities", 1)))
+        return (d, h, w, c)
+
+    def setup_model(self):
+        model_cfg = require_config(self.config, "model")
+        model_name = require_config(model_cfg, "name", type_=str)
+        model_cls = get_model(model_name)
+
+        compute_dtype = str(get_config(self.config, "training.compute_dtype", "bfloat16"))
+        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}[
+            compute_dtype
+        ]
+        remat = bool(get_config(self.config, "training.remat", False))
+
+        self.module = model_cls.from_config(model_cfg, dtype=dtype, remat=remat)
+
+        d, h, w, c = self._input_shape()
+        dummy = jnp.zeros((1, d, h, w, c), jnp.float32)
+        init_key, self.root_key = jax.random.split(self.root_key)
+        with self.mesh:
+            self.variables = jax.jit(
+                lambda k, x: self.module.init(k, x, train=True),
+                out_shardings=replicated(self.mesh),
+            )(init_key, dummy)
+
+        n_params = param_count(self.variables["params"])
+        self.logger.info(
+            f"Model created: {model_name} ({n_params / 1e6:.2f}M params, "
+            f"compute_dtype={compute_dtype}, remat={remat})"
+        )
+        return self.module
+
+    # ------------------------------------------------------------------
+    def get_dataset_builder_for_task(self):
+        try:
+            builder_cls = get_dataset_builder(self.task_name)
+        except KeyError:
+            builder_cls = get_dataset_builder("default")
+        return builder_cls(self.config)
+
+    def build_clean_dataset(self, split: str = "train"):
+        return self.get_dataset_builder_for_task().get_dataset(split)
+
+    def setup_train_data(self):
+        builder = self.get_dataset_builder_for_task()
+
+        train_ds = builder.get_dataset("train")
+        val_ds = builder.get_dataset("val")
+        test_ds = builder.get_dataset("test")
+
+        self.train_loader = builder.get_loader("train", dataset=train_ds)
+        if val_ds is None or len(val_ds) == 0:
+            self.val_loader = None
+            self.logger.warning("val dataset is empty; skip validation.")
+        else:
+            self.val_loader = builder.get_loader("val", dataset=val_ds)
+        self.test_loader = builder.get_loader("test", dataset=test_ds) if test_ds is not None else None
+
+        def n(dl):
+            try:
+                return len(dl.dataset)
+            except Exception:
+                return "?"
+
+        self.logger.info(
+            f"Data loaders created for task: {self.task_name} | "
+            f"train={n(self.train_loader)} val={n(self.val_loader) if self.val_loader else 0} "
+            f"test={n(self.test_loader) if self.test_loader else 0}"
+        )
+        self._builder = builder
+        return self.train_loader, self.val_loader, self.test_loader
+
+    def setup_test_data(self):
+        builder = self.get_dataset_builder_for_task()
+        self.test_loader = builder.get_loader("test")
+        self._builder = builder
+        return self.test_loader
+
+    def setup_data(self, mode: str = "train"):
+        mode = str(mode).lower()
+        if mode == "train":
+            return self.setup_train_data()
+        if mode == "test":
+            return self.setup_test_data(), None
+        raise ValueError(f"Unknown mode: {mode}. Expected 'train' or 'test'.")
+
+    # ------------------------------------------------------------------
+    def setup_optimizer(self):
+        if self.variables is None:
+            raise ValueError("Model must be setup before optimizer")
+        training_cfg = require_config(self.config, "training")
+        self.tx, self.base_lr = build_optimizer(training_cfg, self.variables["params"])
+
+        with self.mesh:
+            self.state = TrainState.create(
+                apply_fn=self.module.apply,
+                params=self.variables["params"],
+                batch_stats=self.variables.get("batch_stats", {}),
+                tx=self.tx,
+            )
+        opt_name = get_config(training_cfg, "optimizer", "sgd")
+        self.logger.info(f"Optimizer created (primary): {opt_name} lr={self.base_lr}")
+        return self.tx
+
+    def setup_scheduler(self):
+        if self.tx is None:
+            raise ValueError("Optimizer must be setup before scheduler")
+        training_cfg = require_config(self.config, "training")
+        self.scheduler = EpochScheduler(training_cfg, self.base_lr)
+        if self.scheduler.enabled:
+            self.logger.info(f"Scheduler created: {self.scheduler.name}")
+        return self.scheduler
+
+    # ------------------------------------------------------------------
+    def setup_hooks(self, run_dir: Optional[str] = None):
+        hooks = [TimerHook()]
+
+        run_dir = run_dir or get_config(self.config, "task.save_dir", "./outputs")
+        ckpt_dir = os.path.join(run_dir, "checkpoints")
+        model_save_freq = int(get_config(self.config, "training.model_save_freq", 1))
+        model_save_start = int(get_config(self.config, "training.model_save_start", 50))
+        self.checkpoint_hook = CheckpointHook(ckpt_dir, model_save_freq, model_save_start)
+        hooks.append(self.checkpoint_hook)
+
+        hooks.append(MemoryMonitorHook())
+        hooks.append(MetricsLoggerHook())
+
+        es = get_config(self.config, "training.early_stopping", None)
+        if es is not None and bool(get_config(es, "enabled", False)):
+            hooks.append(
+                EarlyStoppingHook(
+                    metric=str(get_config(es, "metric", "loss")),
+                    mode=str(get_config(es, "mode", "min")),
+                    patience=int(get_config(es, "patience", 10)),
+                    min_delta=float(get_config(es, "min_delta", 0.0)),
+                )
+            )
+
+        self.trainer.register_hooks(hooks)
+        self.logger.info(f"{len(hooks)} hooks registered.")
+
+    def setup_trainer(self, run_dir: Optional[str] = None):
+        if self.eval_strategy_name is None:
+            evaluation_strategy = None
+        else:
+            evaluation_cls = get_evaluation_strategy(self.eval_strategy_name)
+            evaluation_strategy = evaluation_cls(self.config)
+
+        task_lower = str(self.task_name).lower()
+        is_seg = "seg" in task_lower or "brats" in task_lower or "hecktor21" in task_lower
+        if not is_seg:
+            raise ValueError(f"Unknown trainer type: {self.task_name}")
+
+        device_transform = None
+        builder = getattr(self, "_builder", None)
+        if builder is not None and hasattr(builder, "build_transform"):
+            device_transform = builder.build_transform("train").device_spec()
+
+        self.trainer = SegTrainer(
+            self.config,
+            mesh=self.mesh,
+            evaluation_strategy=evaluation_strategy,
+            device_transform=device_transform,
+        )
+        self.trainer.setup(self.state, evaluation_strategy, self.scheduler)
+        self.setup_hooks(run_dir)
+
+        resume = get_config(self.config, "training.resume", None)
+        if resume:
+            self.trainer.start_epoch = self.checkpoint_hook.load(str(resume))
+
+        self.logger.info(
+            f"Trainer created: {type(self.trainer).__name__} for task: {self.task_name}"
+        )
+
+    # ------------------------------------------------------------------
+    def train(self, epochs: int) -> Dict[str, List]:
+        if self.trainer is None:
+            raise ValueError("Trainer must be setup before training")
+        self.logger.info(f"Starting training for {epochs} epochs...")
+        eval_on_train = bool(get_config(self.config, "training.eval_on_train", False))
+        with self.mesh:
+            results = self.trainer.train(
+                epochs=int(epochs),
+                train_loader=self.train_loader,
+                val_loader=self.val_loader,
+                test_loader=self.test_loader,
+                eval_on_train=eval_on_train,
+            )
+        self.logger.info("Training completed")
+        return results

@@ -1,0 +1,290 @@
+"""Segmentation evaluation strategy ("seg_eval").
+
+Reproduces the reference's BraTS-style region evaluation (reference:
+src/evaluation/seg_eval.py:151-478) with the identical flat metric-dict key
+schema — ``{region}_dc``, ``avg_dc``, ``miou``, ``jc``, ``loss``, optional
+``{region}_hd95``/``{region}_asd`` (+averages), and per-domain variants under
+``dom/<domain>/...`` — so downstream log parsing is unchanged.
+
+TPU-native evaluation path: one jitted step runs forward (eval mode), sigmoid
+-> threshold -> per-sample/per-region dice/iou with empty-GT gating, the
+optional DiceCE loss per sample, and (when enabled) HD95/ASD surface
+distances via the on-device euclidean distance transform. Only [B,R] metric
+tensors leave the device — no volume-sized D2H transfers (the reference
+pulls per-voxel tensors to host each batch, seg_eval.py:363-392).
+
+Batches whose size doesn't divide the mesh are zero-padded; padded samples
+have empty GT so the validity gate masks them out of every accumulator.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from tqdm import tqdm
+
+from ..conf.node import ConfigNode
+from ..ops.losses import make_dice_ce_loss
+from ..ops.seg_metrics import binary_dice_iou
+from ..parallel.mesh import batch_sharding, pad_batch_to_multiple, replicated, shard_batch
+from ..registry import register_evaluation_strategy
+from ..utils.config import get_config
+from ..utils.logger import get_logger
+
+
+def as_list_str(x: Any, batch_size: int) -> List[str]:
+    """Normalize a batch 'domain' field to List[str] of length B
+    (reference: seg_eval.py:20-38)."""
+    if x is None:
+        return [""] * batch_size
+    if isinstance(x, (list, tuple)):
+        return [str(v) for v in x]
+    if isinstance(x, str):
+        return [x] * batch_size
+    if isinstance(x, np.ndarray):
+        if x.ndim == 0:
+            return [str(x.item())] * batch_size
+        if x.size == batch_size:
+            return [str(int(v)) for v in x.reshape(-1)]
+    return [str(x)] * batch_size
+
+
+def diag_mm_from_shape(d: int, h: int, w: int, spacing: Tuple[float, float, float]) -> float:
+    """Volume-diagonal upper bound in mm (reference: seg_eval.py:89-103)."""
+    sd, sh, sw = spacing
+    dd = max(d - 1, 0) * sd
+    hh = max(h - 1, 0) * sh
+    ww = max(w - 1, 0) * sw
+    return float(math.sqrt(dd * dd + hh * hh + ww * ww))
+
+
+class _Accum:
+    """Per-region sum/count accumulator (overall + per-domain)."""
+
+    def __init__(self, n_regions: int):
+        self.r = n_regions
+        self.sum = np.zeros(n_regions, np.float64)
+        self.cnt = np.zeros(n_regions, np.float64)
+
+    def add(self, values: np.ndarray, valid: np.ndarray) -> None:
+        """values/valid: [B, R]."""
+        v = np.where(valid, values, 0.0)
+        self.sum += v.sum(axis=0)
+        self.cnt += valid.astype(np.float64).sum(axis=0)
+
+    def means(self) -> List[float]:
+        return [float(self.sum[c] / self.cnt[c]) if self.cnt[c] > 0 else 0.0 for c in range(self.r)]
+
+    def valid_mean(self) -> float:
+        means = self.means()
+        valid_idx = [i for i in range(self.r) if self.cnt[i] > 0]
+        return float(sum(means[i] for i in valid_idx) / max(1, len(valid_idx)))
+
+
+@register_evaluation_strategy("seg_eval")
+class SegmentationEvaluationStrategy:
+    def __init__(self, config: Optional[ConfigNode] = None):
+        self.config = config or ConfigNode()
+        self.logger = get_logger()
+
+        seg_cfg = get_config(self.config, "evaluation.seg", ConfigNode())
+        self.threshold = float(get_config(seg_cfg, "threshold", 0.5))
+        self.region_order = [str(r) for r in get_config(seg_cfg, "region_order", ["ET", "TC", "WT"])]
+
+        spacing = list(get_config(seg_cfg, "spacing", [1.0, 1.0, 1.0]))
+        if len(spacing) != 3:
+            raise ValueError(f"[SegEval] evaluation.seg.spacing must have length 3, got {spacing}")
+        self.spacing = (float(spacing[0]), float(spacing[1]), float(spacing[2]))
+
+        self.report_loss = bool(get_config(self.config, "evaluation.loss.report_loss", False))
+
+        surf_cfg = get_config(self.config, "evaluation.surface", ConfigNode())
+        self.enable_surface = bool(get_config(surf_cfg, "enable", False))
+        self.asd_symmetric = bool(get_config(surf_cfg, "asd_symmetric", False))
+
+        crit_cfg = get_config(self.config, "training.criterion", ConfigNode())
+        # Eval loss mirrors training config but always sigmoid (reference:
+        # seg_eval.py:209-220 builds DiceCELoss with sigmoid=True).
+        eval_crit = ConfigNode(
+            {
+                "sigmoid": True,
+                "softmax": False,
+                "include_background": bool(get_config(crit_cfg, "include_background", True)),
+                "squared_pred": bool(get_config(crit_cfg, "squared_pred", False)),
+                "jaccard": bool(get_config(crit_cfg, "jaccard", False)),
+                "lambda_dice": float(get_config(crit_cfg, "lambda_dice", 1.0)),
+                "lambda_ce": float(get_config(crit_cfg, "lambda_ce", 1.0)),
+            }
+        )
+        w = get_config(crit_cfg, "weight", None)
+        if w is not None and len(list(w)) > 0:
+            eval_crit["ce_weight"] = [float(x) for x in list(w)]
+        self.loss_fn = make_dice_ce_loss(eval_crit)
+
+        self._eval_step = None
+        self._mesh_sig = None
+
+    # ------------------------------------------------------------------
+    def _build_eval_step(self, mesh):
+        threshold = self.threshold
+        loss_fn = self.loss_fn
+        report_loss = self.report_loss
+        enable_surface = self.enable_surface
+        spacing = self.spacing
+        asd_symmetric = self.asd_symmetric
+
+        def step(state, image, label):
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            logits = state.apply_fn(variables, image, train=False)
+
+            prob = jax.nn.sigmoid(logits)
+            pred = (prob >= threshold).astype(jnp.float32)
+            gt = (label.astype(jnp.float32) > 0.5).astype(jnp.float32)
+
+            dice, iou, valid = binary_dice_iou(pred, gt)
+            b, r = pred.shape[0], pred.shape[-1]
+            pred_empty = jnp.sum(pred.reshape(b, -1, r), axis=1) == 0
+
+            out = {"dice": dice, "iou": iou, "valid": valid, "pred_empty": pred_empty}
+
+            if report_loss:
+                per_sample = jax.vmap(lambda lg, lb: loss_fn(lg[None], lb[None]))(
+                    logits, label.astype(jnp.float32)
+                )
+                out["loss"] = per_sample  # [B]
+
+            if enable_surface:
+                from ..ops.surface import batched_surface_metrics
+
+                hd95, asd = batched_surface_metrics(
+                    pred, gt, spacing=spacing, symmetric_asd=asd_symmetric
+                )
+                out["hd95"] = hd95
+                out["asd"] = asd
+
+            return out
+
+        if mesh is not None:
+            bsh = batch_sharding(mesh)
+            rep = replicated(mesh)
+            return jax.jit(step, in_shardings=(rep, bsh, bsh), out_shardings=rep)
+        return jax.jit(step)
+
+    # ------------------------------------------------------------------
+    def evaluate_epoch(self, state, data_loader, mesh=None) -> Dict[str, float]:
+        R = len(self.region_order)
+
+        acc_dice, acc_iou = _Accum(R), _Accum(R)
+        acc_hd95, acc_asd = _Accum(R), _Accum(R)
+        dom_dice: Dict[str, _Accum] = defaultdict(lambda: _Accum(R))
+        dom_iou: Dict[str, _Accum] = defaultdict(lambda: _Accum(R))
+        dom_hd95: Dict[str, _Accum] = defaultdict(lambda: _Accum(R))
+        dom_asd: Dict[str, _Accum] = defaultdict(lambda: _Accum(R))
+
+        total_loss = 0.0
+        n_samples = 0
+
+        if self._eval_step is None or self._mesh_sig is not id(mesh):
+            self._eval_step = self._build_eval_step(mesh)
+            self._mesh_sig = id(mesh)
+
+        n_dev = mesh.devices.size if mesh is not None else 1
+
+        for batch in tqdm(data_loader, desc="Evaluate SEG (regions)", leave=False):
+            image = np.asarray(batch["image"], dtype=np.float32)
+            label = np.asarray(batch["label"], dtype=np.float32)
+            if label.ndim != image.ndim:
+                raise ValueError(f"[SegEval] label must be [B,...,R], got {label.shape}")
+            if int(label.shape[-1]) != R:
+                raise ValueError(
+                    f"[SegEval] label channels={label.shape[-1]} but region_order={R}"
+                )
+            B = image.shape[0]
+            domains = as_list_str(batch.get("domain"), B)
+
+            padded, n_orig = pad_batch_to_multiple(
+                {"image": image, "label": label}, n_dev
+            )
+            if mesh is not None:
+                padded = shard_batch(padded, mesh)
+
+            out = self._eval_step(state, padded["image"], padded["label"])
+            dice = np.asarray(out["dice"])[:B]
+            iou = np.asarray(out["iou"])[:B]
+            valid = np.asarray(out["valid"])[:B]
+            pred_empty = np.asarray(out["pred_empty"])[:B]
+
+            if self.enable_surface:
+                D, H, W = image.shape[1:4]
+                diag = diag_mm_from_shape(D, H, W, self.spacing)
+                hd95 = np.asarray(out["hd95"])[:B]
+                asd = np.asarray(out["asd"])[:B]
+                # penalty: GT non-empty & pred empty -> volume diagonal; and
+                # sanitize nan/inf among valid entries (reference: 347-360)
+                penalty = valid & pred_empty
+                hd95 = np.where(penalty, diag, hd95)
+                asd = np.where(penalty, diag, asd)
+                hd95 = np.where(valid & ~np.isfinite(hd95), diag, hd95)
+                asd = np.where(valid & ~np.isfinite(asd), diag, asd)
+
+            acc_dice.add(dice, valid)
+            acc_iou.add(iou, valid)
+            if self.enable_surface:
+                acc_hd95.add(hd95, valid)
+                acc_asd.add(asd, valid)
+
+            for i in range(B):
+                dom = domains[i]
+                v = valid[i : i + 1]
+                dom_dice[dom].add(dice[i : i + 1], v)
+                dom_iou[dom].add(iou[i : i + 1], v)
+                if self.enable_surface:
+                    dom_hd95[dom].add(hd95[i : i + 1], v)
+                    dom_asd[dom].add(asd[i : i + 1], v)
+
+            if self.report_loss:
+                loss = np.asarray(out["loss"])[:B]
+                total_loss += float(loss.sum())
+                n_samples += B
+
+        # ---- finalize (exact key schema of reference seg_eval.py:402-477) ----
+        metrics: Dict[str, float] = {}
+        mean_dice = acc_dice.means()
+        for name, v in zip(self.region_order, mean_dice):
+            metrics[f"{name.lower()}_dc"] = v
+        metrics["avg_dc"] = acc_dice.valid_mean()
+        miou = acc_iou.valid_mean()
+        metrics["miou"] = miou
+        metrics["jc"] = miou
+        metrics["loss"] = float(total_loss / max(1, n_samples)) if self.report_loss else 0.0
+
+        if self.enable_surface:
+            for name, v in zip(self.region_order, acc_hd95.means()):
+                metrics[f"{name.lower()}_hd95"] = v
+            metrics["avg_hd95"] = acc_hd95.valid_mean()
+            for name, v in zip(self.region_order, acc_asd.means()):
+                metrics[f"{name.lower()}_asd"] = v
+            metrics["avg_asd"] = acc_asd.valid_mean()
+
+        for dom in sorted(dom_dice.keys()):
+            safe = dom if dom != "" else "unknown"
+            for name, v in zip(self.region_order, dom_dice[dom].means()):
+                metrics[f"dom/{safe}/{name.lower()}_dc"] = v
+            metrics[f"dom/{safe}/avg_dc"] = dom_dice[dom].valid_mean()
+            metrics[f"dom/{safe}/miou"] = dom_iou[dom].valid_mean()
+            if self.enable_surface:
+                for name, v in zip(self.region_order, dom_hd95[dom].means()):
+                    metrics[f"dom/{safe}/{name.lower()}_hd95"] = v
+                metrics[f"dom/{safe}/avg_hd95"] = dom_hd95[dom].valid_mean()
+                for name, v in zip(self.region_order, dom_asd[dom].means()):
+                    metrics[f"dom/{safe}/{name.lower()}_asd"] = v
+                metrics[f"dom/{safe}/avg_asd"] = dom_asd[dom].valid_mean()
+
+        return metrics

@@ -1,0 +1,131 @@
+"""Device mesh construction and batch sharding.
+
+The reference's only multi-device path is single-process
+``torch.nn.DataParallel`` (reference: src/core/experiment_manager.py:95-96)
+plus a bash GPU pool of independent processes
+(reference: train_hecktor21_parellel.sh:56-172). This framework replaces both
+with one SPMD model: a ``jax.sharding.Mesh`` with a ``data`` axis (and a
+``space`` axis reserved for spatial sharding of oversized volumes), jitted
+steps with NamedSharding-annotated inputs, and XLA-inserted collectives over
+ICI. The same code runs 1-chip, 8-chip (v5e-8), or a CPU-simulated mesh in
+tests.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..utils.config import get_config
+from ..utils.logger import get_logger
+
+DATA_AXIS = "data"
+SPACE_AXIS = "space"
+
+
+def select_devices(training_cfg=None) -> List[jax.Device]:
+    """Pick devices from training config.
+
+    Honors (in order): ``training.devices`` (list of local device indices, or
+    "auto"/"all"), then the reference-compat ``training.gpu_ids`` (ignored
+    when it is the default [0] singleton so TPU runs use all chips).
+    """
+    all_devs = jax.devices()
+    if training_cfg is None:
+        return all_devs
+
+    devices = get_config(training_cfg, "devices", "auto")
+    if isinstance(devices, (list, tuple)):
+        idxs = [int(i) for i in devices]
+        return [all_devs[i] for i in idxs]
+    if isinstance(devices, str) and devices.lower() in ("auto", "all", "tpu", "cpu", ""):
+        gpu_ids = get_config(training_cfg, "gpu_ids", None)
+        if isinstance(gpu_ids, (list, tuple)) and len(gpu_ids) > 1:
+            idxs = [int(i) for i in gpu_ids if 0 <= int(i) < len(all_devs)]
+            if idxs:
+                return [all_devs[i] for i in idxs]
+        return all_devs
+    raise ValueError(f"Unrecognized training.devices: {devices!r}")
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    *,
+    data: int = -1,
+    space: int = 1,
+) -> Mesh:
+    """Build a (data, space) mesh. data=-1 consumes all remaining devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    n = len(devices)
+    space = max(1, int(space))
+    if n % space != 0:
+        raise ValueError(f"device count {n} not divisible by space={space}")
+    if data == -1:
+        data = n // space
+    if data * space != n:
+        raise ValueError(f"mesh {data}x{space} != {n} devices")
+    arr = np.asarray(devices).reshape(data, space)
+    return Mesh(arr, (DATA_AXIS, SPACE_AXIS))
+
+
+def mesh_from_config(config) -> Mesh:
+    tcfg = get_config(config, "training", None)
+    devs = select_devices(tcfg)
+    mcfg = get_config(tcfg, "mesh", None) if tcfg is not None else None
+    data = int(get_config(mcfg, "data", -1)) if mcfg is not None else -1
+    space = int(get_config(mcfg, "space", 1)) if mcfg is not None else 1
+    mesh = make_mesh(devs, data=data, space=space)
+    get_logger().info(
+        f"Device mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))} over "
+        f"{mesh.devices.size} {mesh.devices.flat[0].platform} device(s)"
+    )
+    return mesh
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis, replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Device-put array leaves batch-sharded; non-arrays pass through."""
+    sh = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and v.ndim >= 1 and v.dtype != object:
+            out[k] = jax.device_put(v, sh)
+        else:
+            out[k] = v
+    return out
+
+
+def pad_batch_to_multiple(
+    batch: Dict[str, Any], multiple: int, array_keys: Sequence[str] = ("image", "label")
+) -> (Dict[str, Any], int):
+    """Zero-pad the batch dim up to a multiple of the mesh data size.
+
+    Returns (padded batch, original size). Used on eval/TTA streams where the
+    tail batch isn't divisible by the device count; metric accumulation masks
+    the padding out via the returned original size.
+    """
+    sizes = [np.asarray(batch[k]).shape[0] for k in array_keys if k in batch]
+    if not sizes:
+        return batch, 0
+    n = sizes[0]
+    if n % multiple == 0:
+        return batch, n
+    pad_to = ((n + multiple - 1) // multiple) * multiple
+    out = dict(batch)
+    for k in array_keys:
+        if k in batch:
+            v = np.asarray(batch[k])
+            pad_width = [(0, pad_to - n)] + [(0, 0)] * (v.ndim - 1)
+            out[k] = np.pad(v, pad_width)
+    return out, n
