@@ -178,7 +178,22 @@ class SegmentationEvaluationStrategy:
         return jax.jit(step)
 
     # ------------------------------------------------------------------
-    def evaluate_epoch(self, state, data_loader, mesh=None) -> Dict[str, float]:
+    def evaluate_epoch(
+        self,
+        state,
+        data_loader,
+        mesh=None,
+        adapt_fn=None,
+        carry_state: bool = False,
+    ) -> Dict[str, float]:
+        """Evaluate (optionally with per-batch test-time adaptation).
+
+        adapt_fn(state, image, label_shape_batch) -> adapted state is invoked
+        per batch BEFORE the eval step (the TTA hook point). With
+        ``carry_state`` the adapted state flows into the next batch
+        (continual TTA); otherwise each batch adapts from the source state
+        (episodic).
+        """
         R = len(self.region_order)
 
         acc_dice, acc_iou = _Accum(R), _Accum(R)
@@ -215,7 +230,13 @@ class SegmentationEvaluationStrategy:
             if mesh is not None:
                 padded = shard_batch(padded, mesh)
 
-            out = self._eval_step(state, padded["image"], padded["label"])
+            eval_state = state
+            if adapt_fn is not None:
+                eval_state = adapt_fn(state, padded["image"], B)
+                if carry_state:
+                    state = eval_state
+
+            out = self._eval_step(eval_state, padded["image"], padded["label"])
             dice = np.asarray(out["dice"])[:B]
             iou = np.asarray(out["iou"])[:B]
             valid = np.asarray(out["valid"])[:B]

@@ -1,0 +1,234 @@
+"""Tent-style test-time adaptation as one jitted, scanned function.
+
+The reference repository is a TTA *scaffold* with no TTA algorithm
+(SURVEY.md §0; the per-sample domain labels and target-only test splits exist
+precisely to host one). This module supplies the engine, TPU-first:
+
+  - entropy minimization (Wang et al., "Tent", ICLR 2021 — public method)
+    over sigmoid (multi-label) or softmax outputs, selected from
+    ``training.criterion`` mode
+  - gradients restricted to normalization-layer affine params via
+    ``optax.masked`` over a norm-param pytree mask (InstanceNorm/GroupNorm
+    scale+bias; for BatchNorm models the batch statistics are additionally
+    recomputed from the test batch inside the same jit)
+  - the K inner adaptation steps run under ONE jit as a ``lax.scan`` — no
+    host round-trips inside adaptation
+  - multi-chip: the test batch enters sharded over the mesh ``data`` axis
+    with params replicated; XLA inserts the gradient (and batch-stat)
+    all-reduce over ICI, so every chip adapts with pooled statistics
+    (BASELINE.json: "BN-statistic allreduce over ICI")
+  - optional missing-modality dropout per step (BASELINE.json config #3)
+  - episodic (reset per batch) or continual (state carries across stream)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..conf.node import ConfigNode
+from ..ops.augment import modality_dropout
+from ..ops.intensity import make_intensity_normalizer
+from ..ops.losses import entropy_loss
+from ..parallel.mesh import batch_sharding, replicated
+from ..registry import register_tta_method
+from ..utils.config import get_config
+from ..utils.logger import get_logger
+
+
+def norm_param_mask(params) -> Any:
+    """True for normalization-layer affine parameters.
+
+    Matches the framework's layer naming (Norm submodules are named ``n``/
+    ``norm``; see models/layers.py): a param is a norm param when any path
+    component is 'n', 'norm', or contains 'norm' but not 'conv'/'dense'.
+    """
+
+    def is_norm(path) -> bool:
+        comps = [str(getattr(p, "key", p)).lower() for p in path]
+        for c in comps[:-1]:  # exclude the leaf name (scale/bias/kernel)
+            if c == "n" or c == "norm" or c.endswith("_norm") or c.startswith("norm"):
+                return True
+        return False
+
+    return jax.tree_util.tree_map_with_path(lambda p, l: is_norm(p), params)
+
+
+def count_true(mask) -> int:
+    return sum(bool(x) for x in jax.tree_util.tree_leaves(mask))
+
+
+@register_tta_method("tent")
+class TentAdapter:
+    """Builds ``adapt_fn(state, image, n_valid) -> adapted state`` closures.
+
+    Keeps the host-side source state for episodic resets; the per-batch
+    adaptation itself is a single jitted call.
+    """
+
+    def __init__(self, tta_cfg, config=None, mesh=None, device_transform=None):
+        self.cfg = tta_cfg or ConfigNode()
+        self.config = config or ConfigNode()
+        self.mesh = mesh
+        self.logger = get_logger()
+
+        self.steps = int(get_config(self.cfg, "steps", 1))
+        self.lr = float(get_config(self.cfg, "lr", 1e-3))
+        self.opt_name = str(get_config(self.cfg, "optimizer", "sgd")).lower()
+        self.momentum = float(get_config(self.cfg, "momentum", 0.9))
+        self.update = str(get_config(self.cfg, "update", "norm")).lower()
+        self.episodic = bool(get_config(self.cfg, "episodic", True))
+
+        crit = get_config(self.config, "training.criterion", ConfigNode())
+        softmax = bool(get_config(crit, "softmax", False))
+        self.sigmoid_mode = bool(get_config(crit, "sigmoid", not softmax))
+
+        md = get_config(self.cfg, "modality_dropout", ConfigNode())
+        self.md_enabled = bool(get_config(md, "enabled", False))
+        self.md_prob = float(get_config(md, "prob", 0.25))
+
+        self.device_transform = device_transform or {}
+        self._norm_fn = None
+        if self.device_transform.get("normalize"):
+            self._norm_fn = make_intensity_normalizer(
+                normalize=True,
+                intensity_policy=self.device_transform.get("intensity_policy"),
+                channel_names=self.device_transform.get("channel_names"),
+                mean=self.device_transform.get("mean"),
+                std=self.device_transform.get("std"),
+            )
+
+        self._adapt_step = None
+        self._tx = None
+        self._rng = jax.random.PRNGKey(int(get_config(self.config, "task.seed", 0)) + 777)
+
+    # ------------------------------------------------------------------
+    def _build_tx(self, params) -> optax.GradientTransformation:
+        if self.opt_name == "sgd":
+            inner = optax.sgd(self.lr, momentum=self.momentum or None)
+        elif self.opt_name == "adam":
+            inner = optax.adam(self.lr)
+        else:
+            raise ValueError(f"[tent] unsupported optimizer: {self.opt_name}")
+
+        if self.update == "norm":
+            mask = norm_param_mask(params)
+            n = count_true(mask)
+            if n == 0:
+                raise ValueError(
+                    "[tent] update=norm but no normalization parameters found in the model"
+                )
+            self.logger.info(f"[tent] adapting {n} norm-param tensors (of "
+                             f"{len(jax.tree_util.tree_leaves(params))})")
+            # optax.masked applies `inner` to the masked subset and passes the
+            # complement's raw gradients through UNCHANGED — so the complement
+            # must be explicitly zeroed or every frozen param would take a
+            # full-gradient ascent step.
+            inv_mask = jax.tree_util.tree_map(lambda m: not m, mask)
+            return optax.chain(
+                optax.masked(optax.set_to_zero(), inv_mask),
+                optax.masked(inner, mask),
+            )
+        if self.update == "all":
+            return inner
+        raise ValueError(f"[tent] unknown update mode: {self.update}")
+
+    def _build_adapt_step(self, state):
+        tx = self._build_tx(state.params)
+        self._tx = tx
+        norm_fn = self._norm_fn
+        steps = self.steps
+        sigmoid_mode = self.sigmoid_mode
+        md_enabled = self.md_enabled
+        md_prob = self.md_prob
+
+        def adapt(params, batch_stats, opt_state, image, rng, n_valid):
+            if norm_fn is not None:
+                image = jax.vmap(norm_fn)(image)
+            b = image.shape[0]
+            mask = (jnp.arange(b) < n_valid).astype(jnp.float32)
+            denom = jnp.maximum(jnp.sum(mask), 1.0)
+
+            def entropy_of(params, bs, x):
+                variables = {"params": params}
+                recompute_stats = bool(bs)
+                if recompute_stats:
+                    variables["batch_stats"] = bs
+                    # train=True so BatchNorm uses (and pools, via SPMD) the
+                    # TEST batch statistics — the Tent/BN-adapt recipe.
+                    logits, updates = state.apply_fn(
+                        variables, x, train=True, mutable=["batch_stats"]
+                    )
+                    new_bs = updates["batch_stats"]
+                else:
+                    logits = state.apply_fn(variables, x, train=False)
+                    new_bs = bs
+                per_sample = jax.vmap(lambda lg: entropy_loss(lg[None], sigmoid=sigmoid_mode))(
+                    logits
+                )
+                ent = jnp.sum(per_sample * mask) / denom
+                return ent, new_bs
+
+            def one_step(carry, key):
+                params, bs, opt_state = carry
+                x = image
+                if md_enabled:
+                    x = modality_dropout(key, x, prob=md_prob)
+                (ent, new_bs), grads = jax.value_and_grad(entropy_of, has_aux=True)(
+                    params, bs, x
+                )
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, new_bs, opt_state), ent
+
+            keys = jax.random.split(rng, steps)
+            (params, batch_stats, opt_state), ents = jax.lax.scan(
+                one_step, (params, batch_stats, opt_state), keys
+            )
+            return params, batch_stats, opt_state, ents
+
+        if self.mesh is not None:
+            bsh = batch_sharding(self.mesh)
+            rep = replicated(self.mesh)
+            return jax.jit(
+                adapt,
+                in_shardings=(rep, rep, rep, bsh, rep, rep),
+                out_shardings=rep,
+            )
+        return jax.jit(adapt)
+
+    # ------------------------------------------------------------------
+    def make_adapt_fn(self, source_state) -> Callable:
+        """Returns adapt_fn(state, image, n_valid) -> adapted TrainState.
+
+        In episodic mode the incoming ``state`` is ignored in favor of the
+        frozen source state (reset per batch); in continual mode the incoming
+        state (which the evaluator carries) is adapted further.
+        """
+        if self._adapt_step is None:
+            self._adapt_step = self._build_adapt_step(source_state)
+        opt_state0 = self._tx.init(source_state.params)
+        self._opt_state = opt_state0
+        self.last_entropy: Optional[float] = None
+
+        def adapt_fn(state, image, n_valid):
+            base = source_state if self.episodic else state
+            opt_state = self._opt_state if not self.episodic else self._tx.init(base.params)
+            self._rng, key = jax.random.split(self._rng)
+            params, batch_stats, opt_state, ents = self._adapt_step(
+                base.params,
+                base.batch_stats,
+                opt_state,
+                image,
+                key,
+                jnp.int32(n_valid),
+            )
+            if not self.episodic:
+                self._opt_state = opt_state
+            self.last_entropy = float(ents[-1])
+            return base.replace(params=params, batch_stats=batch_stats)
+
+        return adapt_fn

@@ -1,0 +1,210 @@
+"""TTA engine tests: entropy decreases, only norm params change, modes work."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_tta_tpu.conf import ConfigNode
+from multimodal_tta_tpu.core.train_state import TrainState
+from multimodal_tta_tpu.models import UNet3D
+from multimodal_tta_tpu.registry import get_tta_method
+from multimodal_tta_tpu.tta import TTAEngine, TentAdapter, norm_param_mask
+
+import optax
+
+
+def make_state(norm="INSTANCE", in_ch=2, n_cls=1, seed=0):
+    m = UNet3D(
+        in_channels=in_ch,
+        num_classes=n_cls,
+        channels=(4, 8, 16, 32, 64),
+        strides=(2, 2, 2, 2),
+        num_res_units=1,
+        norm=norm,
+    )
+    x = jnp.zeros((1, 16, 16, 16, in_ch))
+    variables = m.init(jax.random.PRNGKey(seed), x, train=True)
+    return TrainState.create(
+        apply_fn=m.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=optax.identity(),
+    )
+
+
+def tent_cfg(**kw):
+    base = {
+        "method": "tent",
+        "steps": 2,
+        "lr": 1e-2,
+        "optimizer": "sgd",
+        "momentum": 0.9,
+        "update": "norm",
+        "episodic": True,
+        "modality_dropout": {"enabled": False, "prob": 0.25},
+    }
+    base.update(kw)
+    return ConfigNode(base)
+
+
+def full_cfg(tta=None, sigmoid=True):
+    return ConfigNode(
+        {
+            "task": {"seed": 0, "eval_strategy": "seg_eval"},
+            "training": {"criterion": {"sigmoid": sigmoid, "softmax": not sigmoid}},
+            "evaluation": {"seg": {"region_order": ["gtvt"], "threshold": 0.5}},
+            "tta": (tta or tent_cfg()).to_container(),
+        }
+    )
+
+
+class TestNormMask:
+    def test_mask_selects_norm_params(self):
+        state = make_state()
+        mask = norm_param_mask(state.params)
+        flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+        norm_true = [jax.tree_util.keystr(p) for p, v in flat if v]
+        norm_false = [jax.tree_util.keystr(p) for p, v in flat if not v]
+        assert norm_true, "no norm params found"
+        assert all("'n'" in p or "norm" in p for p in norm_true)
+        assert all("conv" in p or "head" in p or "up" in p or "proj" in p for p in norm_false)
+
+
+class TestTentAdapter:
+    def test_registered(self):
+        assert get_tta_method("tent") is TentAdapter
+
+    def test_entropy_decreases_and_only_norm_changes(self):
+        state = make_state()
+        cfg = full_cfg()
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+        adapt_fn = adapter.make_adapt_fn(state)
+
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 16, 2), jnp.float32)
+
+        # measure entropy before
+        from multimodal_tta_tpu.ops.losses import entropy_loss
+
+        logits0 = state.apply_fn({"params": state.params}, x, train=False)
+        ent0 = float(entropy_loss(logits0))
+
+        new_state = adapt_fn(state, x, 2)
+        logits1 = new_state.apply_fn({"params": new_state.params}, x, train=False)
+        ent1 = float(entropy_loss(logits1))
+        assert ent1 < ent0, f"entropy did not decrease: {ent0} -> {ent1}"
+
+        # only norm params changed
+        mask = norm_param_mask(state.params)
+        changed, unchanged_ok = 0, True
+        for (p0, pm, p1) in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(mask),
+            jax.tree_util.tree_leaves(new_state.params),
+        ):
+            same = np.allclose(np.asarray(p0), np.asarray(p1))
+            if pm:
+                if not same:
+                    changed += 1
+            else:
+                unchanged_ok &= same
+        assert changed > 0, "no norm params changed"
+        assert unchanged_ok, "non-norm params changed under update=norm"
+
+    def test_episodic_resets(self):
+        state = make_state()
+        cfg = full_cfg()
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+        adapt_fn = adapter.make_adapt_fn(state)
+        x1 = jnp.asarray(np.random.RandomState(1).randn(2, 16, 16, 16, 2), jnp.float32)
+        s1 = adapt_fn(state, x1, 2)
+        s2 = adapt_fn(s1, x1, 2)  # episodic: ignores s1, restarts from source
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)):
+            assert np.allclose(np.asarray(a), np.asarray(b))
+
+    def test_continual_accumulates(self):
+        state = make_state()
+        cfg = full_cfg(tent_cfg(episodic=False))
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+        adapt_fn = adapter.make_adapt_fn(state)
+        x = jnp.asarray(np.random.RandomState(2).randn(2, 16, 16, 16, 2), jnp.float32)
+        s1 = adapt_fn(state, x, 2)
+        s2 = adapt_fn(s1, x, 2)
+        diff = sum(
+            float(jnp.sum(jnp.abs(a - b)))
+            for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params))
+        )
+        assert diff > 0, "continual adaptation did not move further"
+
+    def test_update_all(self):
+        state = make_state()
+        cfg = full_cfg(tent_cfg(update="all", steps=1))
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+        adapt_fn = adapter.make_adapt_fn(state)
+        x = jnp.asarray(np.random.RandomState(3).randn(1, 16, 16, 16, 2), jnp.float32)
+        s1 = adapt_fn(state, x, 1)
+        n_changed = sum(
+            0 if np.allclose(np.asarray(a), np.asarray(b)) else 1
+            for a, b in zip(jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(s1.params))
+        )
+        assert n_changed > 10  # most params move
+
+    def test_modality_dropout_path(self):
+        state = make_state()
+        cfg = full_cfg(tent_cfg(modality_dropout={"enabled": True, "prob": 0.5}))
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+        adapt_fn = adapter.make_adapt_fn(state)
+        x = jnp.asarray(np.random.RandomState(4).randn(2, 16, 16, 16, 2), jnp.float32)
+        s1 = adapt_fn(state, x, 2)
+        assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(s1.params))
+
+    def test_batchnorm_stats_update(self):
+        state = make_state(norm="BATCH")
+        assert state.batch_stats
+        cfg = full_cfg()
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+        adapt_fn = adapter.make_adapt_fn(state)
+        x = jnp.asarray(np.random.RandomState(5).randn(2, 16, 16, 16, 2) * 3 + 1, jnp.float32)
+        s1 = adapt_fn(state, x, 2)
+        moved = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(state.batch_stats),
+                jax.tree_util.tree_leaves(s1.batch_stats),
+            )
+        )
+        assert moved, "batch statistics were not recomputed from the test batch"
+
+
+class TestTTAEngineMesh:
+    def test_engine_none_passthrough(self):
+        from multimodal_tta_tpu.parallel.mesh import make_mesh
+
+        state = make_state()
+        cfg = full_cfg(ConfigNode({"method": "none"}))
+        engine = TTAEngine(cfg, mesh=None)
+        assert engine.adapter is None
+
+    def test_tent_on_8dev_mesh(self):
+        """Full multi-chip path: batch sharded over the data axis, jitted
+        scanned adaptation, XLA-inserted gradient allreduce."""
+        from multimodal_tta_tpu.parallel.mesh import make_mesh, shard_batch
+
+        mesh = make_mesh()  # 8 CPU devices from conftest
+        assert mesh.devices.size == 8
+        state = make_state()
+        cfg = full_cfg()
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=mesh)
+        adapt_fn = adapter.make_adapt_fn(state)
+        x_np = np.random.RandomState(6).randn(8, 16, 16, 16, 2).astype(np.float32)
+        sharded = shard_batch({"image": x_np}, mesh)
+        s1 = adapt_fn(state, sharded["image"], 8)
+        assert adapter.last_entropy is not None and np.isfinite(adapter.last_entropy)
+
+        # same data single-device should produce (nearly) identical params:
+        adapter1 = TentAdapter(cfg.tta, config=cfg, mesh=None)
+        adapt_fn1 = adapter1.make_adapt_fn(state)
+        s2 = adapt_fn1(state, jnp.asarray(x_np), 8)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
