@@ -30,7 +30,7 @@ if REPO_ROOT not in sys.path:
 CPU_CACHE = os.path.join(REPO_ROOT, ".bench_cpu_baseline.json")
 
 SHAPE = (48, 144, 144, 2)  # D,H,W,C — HECKTOR21 working shape
-BATCH = 4
+BATCH = 2
 
 
 def build_workload():
@@ -53,6 +53,7 @@ def build_workload():
         norm="INSTANCE",
         act="RELU",
         dtype=jnp.bfloat16,
+        remat=True,
     )
     x0 = jnp.zeros((BATCH,) + SHAPE, jnp.float32)
     variables = jax.jit(lambda k, x: model.init(k, x, train=False))(jax.random.PRNGKey(0), x0)

@@ -113,7 +113,9 @@ class UNet3D(nn.Module):
 
         def run(blk, h):
             if self.remat:
-                return jax.checkpoint(lambda a: blk(a, train=train))(h)
+                # flax lifted remat: fn's first arg is the Module; `train` is
+                # captured in the closure so it stays trace-static.
+                return nn.remat(lambda mdl, a: mdl(a, train=train))(blk, h)
             return blk(h, train=train)
 
         # ---- encoder ----

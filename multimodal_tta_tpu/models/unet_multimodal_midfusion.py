@@ -177,7 +177,7 @@ class MultimodalUNetMidFusion(nn.Module):
 
         def run_encoder(enc, xin):
             if self.remat:
-                return jax.checkpoint(lambda a: enc(a, train=train))(xin)
+                return nn.remat(lambda mdl, a: mdl(a, train=train))(enc, xin)
             return enc(xin, train=train)
 
         specific_feats, specific_globals, all_skips = [], [], []
