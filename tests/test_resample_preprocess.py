@@ -1,0 +1,270 @@
+"""Resampler + preprocessing pipeline tests (scipy oracle for interpolation)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+from scipy import ndimage
+
+from multimodal_tta_tpu.data import nifti
+from multimodal_tta_tpu.ops.resample import (
+    Grid,
+    bbox_mm_to_index_roi,
+    crop_image,
+    pad_image,
+    resample_to_reference,
+    resample_to_spacing,
+)
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_grid(spacing=(1.0, 1.0, 1.0), origin=(0.0, 0.0, 0.0), size=(8, 8, 8), direction=None):
+    return Grid(
+        origin=np.asarray(origin, float),
+        spacing=np.asarray(spacing, float),
+        direction=np.eye(3) if direction is None else np.asarray(direction, float),
+        size=tuple(size),
+    )
+
+
+class TestGrid:
+    def test_ras_roundtrip(self):
+        aff = np.diag([1.0, 1.0, 3.0, 1.0])
+        aff[:3, 3] = [5.0, -7.0, 2.0]
+        g = Grid.from_ras_affine(aff, (10, 10, 10))
+        assert np.allclose(g.to_ras_affine(), aff)
+        assert np.allclose(g.spacing, [1, 1, 3])
+
+    def test_lps_conversion(self):
+        # RAS affine identity -> LPS origin flips x,y
+        aff = np.eye(4)
+        aff[:3, 3] = [1.0, 2.0, 3.0]
+        g = Grid.from_ras_affine(aff, (4, 4, 4))
+        assert np.allclose(g.origin, [-1.0, -2.0, 3.0])
+
+    def test_index_physical_roundtrip(self):
+        g = make_grid(spacing=(2.0, 1.0, 3.0), origin=(1.0, -2.0, 5.0))
+        idx = np.array([[1.0, 2.0, 3.0]])
+        p = g.index_to_physical(idx)
+        back = g.physical_to_continuous_index(p)
+        assert np.allclose(back, idx)
+
+
+class TestResampleToSpacing:
+    def test_downsample_size(self):
+        data = np.random.RandomState(0).rand(8, 8, 8).astype(np.float32)
+        g = make_grid(spacing=(1, 1, 1), size=(8, 8, 8))
+        out, og = resample_to_spacing(data, g, (2, 2, 2), use_jax=False)
+        assert out.shape == (4, 4, 4)
+        assert np.allclose(og.spacing, [2, 2, 2])
+
+    def test_identity_spacing_preserves(self):
+        data = np.random.RandomState(1).rand(6, 6, 6).astype(np.float32)
+        g = make_grid()
+        g = Grid(origin=g.origin, spacing=g.spacing, direction=g.direction, size=(6, 6, 6))
+        out, og = resample_to_spacing(data, g, (1, 1, 1), use_jax=False)
+        assert np.allclose(out, data, atol=1e-5)
+
+    def test_linear_matches_scipy_zoom_grid(self):
+        """Compare against scipy.ndimage.map_coordinates on the same index map."""
+        data = np.random.RandomState(2).rand(9, 9, 9).astype(np.float32)
+        g = make_grid(size=(9, 9, 9))
+        out, og = resample_to_spacing(data, g, (1.5, 1.5, 1.5), use_jax=False)
+        # index map: new index i -> old index 1.5*i
+        idx = np.meshgrid(*(np.arange(s) for s in out.shape), indexing="ij")
+        coords = np.stack([c * 1.5 for c in idx])
+        want = ndimage.map_coordinates(data, coords, order=1, mode="nearest")
+        # interior (no boundary handling differences)
+        inner = tuple(slice(0, 5) for _ in range(3))
+        assert np.allclose(out[inner], want[inner], atol=1e-4)
+
+    def test_jax_matches_numpy(self):
+        data = np.random.RandomState(3).rand(7, 8, 9).astype(np.float32)
+        g = make_grid(size=(7, 8, 9), spacing=(1.0, 2.0, 1.0))
+        a, _ = resample_to_spacing(data, g, (1.4, 1.0, 2.0), use_jax=False)
+        b, _ = resample_to_spacing(data, g, (1.4, 1.0, 2.0), use_jax=True)
+        assert np.allclose(a, b, atol=1e-4)
+
+
+class TestResampleToReference:
+    def test_shifted_grid(self):
+        data = np.zeros((8, 8, 8), np.float32)
+        data[4, 4, 4] = 1.0
+        g = make_grid(size=(8, 8, 8))
+        ref = make_grid(origin=(1.0, 0.0, 0.0), size=(8, 8, 8))  # shifted +1mm in x
+        out, _ = resample_to_reference(data, g, ref, use_jax=False)
+        # ref voxel (3,4,4) is at physical (4,4,4) -> value 1
+        assert out[3, 4, 4] == pytest.approx(1.0, abs=1e-5)
+
+    def test_nearest_preserves_binary(self):
+        rng = np.random.RandomState(4)
+        mask = (rng.rand(8, 8, 8) > 0.5).astype(np.float32)
+        g = make_grid(size=(8, 8, 8))
+        ref = make_grid(origin=(0.25, 0.0, 0.0), size=(8, 8, 8))
+        out, _ = resample_to_reference(mask, g, ref, method="nearest", use_jax=False)
+        assert set(np.unique(out)) <= {0.0, 1.0}
+
+    def test_out_of_fov_default(self):
+        data = np.ones((4, 4, 4), np.float32)
+        g = make_grid(size=(4, 4, 4))
+        ref = make_grid(origin=(100.0, 0.0, 0.0), size=(4, 4, 4))
+        out, _ = resample_to_reference(data, g, ref, default_value=-7.0, use_jax=False)
+        assert np.allclose(out, -7.0)
+
+
+class TestBBoxRoi:
+    def test_axis_aligned(self):
+        g = make_grid(spacing=(2.0, 2.0, 2.0), origin=(0, 0, 0), size=(20, 20, 20))
+        start, size, dbg = bbox_mm_to_index_roi(g, 2.0, 6.0, 0.0, 4.0, 2.0, 10.0)
+        assert start == [1, 0, 1]
+        assert size == [3, 3, 5]  # ceil(3)-floor(1)+1 etc.
+
+    def test_flip_robust(self):
+        # direction flipped in x: physical x decreases with index
+        g = make_grid(
+            spacing=(1.0, 1.0, 1.0),
+            origin=(10.0, 0.0, 0.0),
+            size=(11, 11, 11),
+            direction=np.diag([-1.0, 1.0, 1.0]),
+        )
+        start, size, _ = bbox_mm_to_index_roi(g, 2.0, 5.0, 1.0, 2.0, 1.0, 2.0)
+        # x physical [2,5] -> index [5,8]
+        assert start[0] == 5 and size[0] == 4
+
+
+class TestPadCrop:
+    def test_pad_moves_origin(self):
+        data = np.ones((4, 4, 4), np.float32)
+        g = make_grid(spacing=(2.0, 1.0, 1.0))
+        out, og = pad_image(data, g, [1, 0, 0], [0, 0, 0], -5.0)
+        assert out.shape == (5, 4, 4)
+        assert out[0, 0, 0] == -5.0
+        assert np.allclose(og.origin, [-2.0, 0.0, 0.0])
+        # voxel that was at index 0 is now at index 1 but same physical place
+        assert np.allclose(og.index_to_physical(np.array([[1, 0, 0]])), [[0, 0, 0]])
+
+    def test_crop_moves_origin(self):
+        data = np.arange(64, dtype=np.float32).reshape(4, 4, 4)
+        g = make_grid()
+        out, og = crop_image(data, g, [1, 2, 0], [2, 2, 4])
+        assert out.shape == (2, 2, 4)
+        assert np.allclose(og.origin, [1.0, 2.0, 0.0])
+        assert out[0, 0, 0] == data[1, 2, 0]
+
+
+class TestPreprocessEndToEnd:
+    def _make_raw(self, root):
+        """Synthetic raw HECKTOR tree: CT/PT/GT with differing grids."""
+        os.makedirs(root, exist_ok=True)
+        rng = np.random.RandomState(0)
+        rows_b, rows_i = [], []
+        for pid in ["CHUS001", "CHUM002"]:
+            ct = (rng.rand(24, 24, 12).astype(np.float32) * 2000) - 1000
+            aff_ct = np.diag([2.0, 2.0, 3.0, 1.0])  # RAS
+            nifti.save(ct, aff_ct, os.path.join(root, f"{pid}_ct.nii.gz"))
+            # PET on a coarser grid
+            pt = np.abs(rng.rand(12, 12, 12)).astype(np.float32) * 10
+            aff_pt = np.diag([4.0, 4.0, 3.0, 1.0])
+            nifti.save(pt, aff_pt, os.path.join(root, f"{pid}_pt.nii.gz"))
+            gt = np.zeros((24, 24, 12), np.uint8)
+            gt[8:14, 8:14, 4:8] = 1
+            nifti.save(gt, aff_ct, os.path.join(root, f"{pid}_gtvt.nii.gz"))
+            # bbox in ITK LPS phys coords; CT RAS x span [0,46] -> LPS x [-46,0]
+            rows_b.append(
+                {"PatientID": pid, "x1": -40.0, "x2": -8.0, "y1": -40.0, "y2": -8.0, "z1": 6.0, "z2": 30.0}
+            )
+            rows_i.append({"PatientID": pid, "CenterID": 1})
+        pd.DataFrame(rows_b).to_csv(os.path.join(root, "bbox.csv"), index=False)
+        pd.DataFrame(rows_i).to_csv(os.path.join(root, "info.csv"), index=False)
+
+    def test_full_pipeline(self, tmp_path):
+        raw = str(tmp_path / "raw")
+        out = str(tmp_path / "proc")
+        self._make_raw(raw)
+        cfg = {
+            "bbox_csv": os.path.join(raw, "bbox.csv"),
+            "info_csv": os.path.join(raw, "info.csv"),
+            "nii_root": raw,
+            "out_root": out,
+            "out_manifest_csv": os.path.join(out, "manifest.csv"),
+            "target_spacing": [1.0, 1.0, 3.0],
+            "output_size": [48, 48, 12],
+            "enable_split": True,
+            "seed": 2026,
+            "val_per_center": 0,
+            "source_centers": ["CHUM"],
+            "target_centers": ["CHUS"],
+        }
+        import yaml
+
+        cfg_path = str(tmp_path / "cfg.yaml")
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(cfg, f)
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache"
+        env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
+        env["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "-1"
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO_ROOT, "scripts", "prepare_hecktor21.py"),
+             "--config", cfg_path, "--mode", "full"],
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+
+        mf = pd.read_csv(os.path.join(out, "manifest.csv"))
+        assert len(mf) == 2
+        assert (mf["status"] == "ok").all()
+        assert set(mf["split"]) == {"train", "test"}
+
+        # processed volumes have the exact target shape + spacing
+        img = nifti.load(mf.iloc[0]["ct_proc"])
+        assert img.shape == (48, 48, 12)
+        zooms = np.sqrt((img.affine[:3, :3] ** 2).sum(axis=0))
+        assert np.allclose(zooms, [1.0, 1.0, 3.0], atol=1e-4)
+
+        # mask stays binary through nearest resampling
+        gt = nifti.load(mf.iloc[0]["gtvt_proc"])
+        assert set(np.unique(np.asarray(gt.dataobj))) <= {0, 1}
+        # tumor survived the crop
+        assert np.asarray(gt.dataobj).sum() > 0
+
+    def test_split_only_mode(self, tmp_path):
+        raw = str(tmp_path / "raw")
+        out = str(tmp_path / "proc")
+        self._make_raw(raw)
+        cfg = {
+            "bbox_csv": os.path.join(raw, "bbox.csv"),
+            "info_csv": os.path.join(raw, "info.csv"),
+            "nii_root": raw,
+            "out_root": out,
+            "out_manifest_csv": os.path.join(out, "manifest.csv"),
+            "enable_split": True,
+            "source_centers": ["CHUM"],
+            "target_centers": ["CHUS"],
+            "val_per_center": 0,
+        }
+        import yaml
+
+        cfg_path = str(tmp_path / "cfg.yaml")
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(cfg, f)
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache"
+        env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
+        env["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "-1"
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO_ROOT, "scripts", "prepare_hecktor21.py"),
+             "--config", cfg_path, "--mode", "split_only"],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        mf = pd.read_csv(os.path.join(out, "manifest.csv"))
+        assert len(mf) == 2
+        assert "ct_proc" in mf.columns
