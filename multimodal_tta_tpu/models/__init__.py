@@ -13,6 +13,10 @@ from .unet_multimodal_midfusion import (  # noqa: F401
     CompositionalLayer,
     DecoderStage,
 )
+from .resnet import ResNet, get_resnet_model  # noqa: F401 (registers resnet18..152)
+from .densenet import DenseNet  # noqa: F401 (registers densenet121..161)
+from .vit import ViT, get_vit_model  # noqa: F401 (registers vit_b_16..h_14)
+from .efficientnet import EfficientNet  # noqa: F401 (registers efficientnet_b0..v2_l)
 
 __all__ = [
     "ConvBlock",

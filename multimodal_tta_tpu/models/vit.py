@@ -1,0 +1,107 @@
+"""Vision Transformer classifier family (2D, NHWC).
+
+Registry parity with the reference's torchvision ViT wrappers (reference:
+src/models/vit.py:59-263; names vit_b_16/b_32/l_16/l_32/h_14). The reference
+wrapper extracts the CLS token before the head and returns (features, logits)
+(vit.py:150-161) — same contract here.
+
+TPU-first: attention and MLP in the configured compute dtype; sequence length
+is static (fixed image_size // patch).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..registry import register_model
+from ..utils.config import get_config
+from .resnet import _VariantFactory
+
+_SPECS = {
+    # (patch, hidden, depth, heads, mlp_dim)
+    "vit_b_16": (16, 768, 12, 12, 3072),
+    "vit_b_32": (32, 768, 12, 12, 3072),
+    "vit_l_16": (16, 1024, 24, 16, 4096),
+    "vit_l_32": (32, 1024, 24, 16, 4096),
+    "vit_h_14": (14, 1280, 32, 16, 5120),
+}
+
+
+class EncoderBlock(nn.Module):
+    hidden: int
+    heads: int
+    mlp_dim: int
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads, dtype=self.dtype, deterministic=not train,
+            dropout_rate=self.dropout,
+        )(y, y)
+        x = x + y
+        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = nn.Dense(self.mlp_dim, dtype=self.dtype)(y)
+        y = nn.gelu(y)
+        y = nn.Dense(self.hidden, dtype=self.dtype)(y)
+        return x + y
+
+
+class ViT(nn.Module):
+    variant: str = "vit_b_16"
+    num_classes: int = 1000
+    image_size: int = 224
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def from_config(cls, cfg, **overrides):
+        kw = dict(
+            variant=str(get_config(cfg, "name", "vit_b_16")),
+            num_classes=int(get_config(cfg, "num_classes", 1000)),
+            image_size=int(get_config(cfg, "image_size", 224)),
+            dropout=float(get_config(cfg, "dropout", 0.0)),
+        )
+        kw.update(overrides)
+        kw.pop("remat", None)
+        return cls(**kw)
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        patch, hidden, depth, heads, mlp_dim = _SPECS[self.variant]
+        b, h, w, c = x.shape
+        if h % patch or w % patch:
+            raise ValueError(f"ViT input {h}x{w} not divisible by patch {patch}")
+        x = x.astype(self.dtype)
+
+        x = nn.Conv(hidden, (patch, patch), (patch, patch), padding="VALID", dtype=self.dtype, name="patch_embed")(x)
+        x = x.reshape(b, -1, hidden)  # [B, N, H]
+
+        cls_tok = self.param("cls_token", nn.initializers.zeros, (1, 1, hidden))
+        x = jnp.concatenate([jnp.tile(cls_tok.astype(self.dtype), (b, 1, 1)), x], axis=1)
+        n = x.shape[1]
+        pos = self.param("pos_embed", nn.initializers.normal(0.02), (1, n, hidden))
+        x = x + pos.astype(self.dtype)
+
+        for i in range(depth):
+            x = EncoderBlock(hidden, heads, mlp_dim, self.dropout, dtype=self.dtype, name=f"block{i}")(x, train=train)
+
+        x = nn.LayerNorm(dtype=self.dtype, name="final_ln")(x)
+        cls = x[:, 0].astype(jnp.float32)  # CLS token features
+        logits = nn.Dense(self.num_classes, name="head")(cls)
+        return cls, logits
+
+
+for _name in _SPECS:
+    register_model(_name)(_VariantFactory(ViT, _name))
+
+
+def get_vit_model(name: str, **kw) -> ViT:
+    if name not in _SPECS:
+        raise ValueError(f"Unknown vit variant: {name}")
+    return ViT(variant=name, **kw)
