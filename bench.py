@@ -27,10 +27,18 @@ REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+# stdout must carry exactly one JSON line; route framework logs to stderr
+from multimodal_tta_tpu.utils.logger import setup_logger as _setup_logger  # noqa: E402
+import logging as _logging  # noqa: E402
+
+_log = _setup_logger(to_console=False)
+_h = _logging.StreamHandler(sys.stderr)
+_log.addHandler(_h)
+
 CPU_CACHE = os.path.join(REPO_ROOT, ".bench_cpu_baseline.json")
 
 SHAPE = (48, 144, 144, 2)  # D,H,W,C — HECKTOR21 working shape
-BATCH = 2
+BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 
 
 def build_workload():
