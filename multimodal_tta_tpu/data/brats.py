@@ -25,7 +25,7 @@ from ..registry import register_dataset_builder
 from ..utils.config import get_config, require_config
 from ..utils.logger import get_logger
 from .base_builder import BaseDatasetBuilder
-from .nifti import load_canonical
+from .nifti import load_canonical_dhw
 from .transforms import get_seg_transforms
 
 REGION_ORDER: List[str] = ["ET", "TC", "WT"]
@@ -214,19 +214,19 @@ class BratsMultiSourceNiftiDataset:
             p = info["modalities"][mod]
             if not os.path.exists(p):
                 raise FileNotFoundError(f"[BraTS] Missing image file: {p} (case={case_id}, mod={mod})")
-            vol = load_canonical(p, dtype=np.float32)  # (X,Y,Z)
-            self._validate_shape(vol, f"image/{mod}", case_id)
-            vols.append(vol.transpose(2, 1, 0))  # (Z,Y,X)=(D,H,W)
+            vol = load_canonical_dhw(p)  # fused decode to (D,H,W)=(Z,Y,X)
+            self._validate_shape_dhw(vol, f"image/{mod}", case_id)
+            vols.append(vol)
 
-        image = np.stack(vols, axis=-1).astype(np.float32)  # [D,H,W,C]
+        image = np.stack(vols, axis=-1)  # [D,H,W,C]
 
         label_path = info.get("label", "")
         if (not label_path) or (not os.path.exists(label_path)):
             y_np = np.zeros(image.shape[:3], dtype=np.int16)
         else:
-            y = load_canonical(label_path, dtype=np.float32)
-            self._validate_shape(y, "label", case_id)
-            y_np = safe_round_label(y).transpose(2, 1, 0)  # [D,H,W]
+            y = load_canonical_dhw(label_path)
+            self._validate_shape_dhw(y, "label", case_id)
+            y_np = safe_round_label(y)  # [D,H,W]
 
         if self.strict_label_values:
             uniq = np.unique(y_np)
@@ -258,13 +258,14 @@ class BratsMultiSourceNiftiDataset:
             "index": int(idx),
         }
 
-    def _validate_shape(self, arr: np.ndarray, what: str, case_id: str) -> None:
+    def _validate_shape_dhw(self, arr: np.ndarray, what: str, case_id: str) -> None:
+        """expected_shape is configured as (X,Y,Z); arrays are (D,H,W)=(Z,Y,X)."""
         if self.expected_shape is None:
             return
-        if tuple(arr.shape) != self.expected_shape:
+        if tuple(arr.shape) != self.expected_shape[::-1]:
             raise ValueError(
-                f"[BraTS] Shape mismatch for {what} case={case_id}: got {tuple(arr.shape)}, "
-                f"expected {self.expected_shape}."
+                f"[BraTS] Shape mismatch for {what} case={case_id}: got (Z,Y,X)={tuple(arr.shape)}, "
+                f"expected (X,Y,Z)={self.expected_shape}."
             )
 
 

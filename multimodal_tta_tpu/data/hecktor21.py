@@ -27,7 +27,7 @@ from ..registry import register_dataset_builder
 from ..utils.config import get_config, require_config
 from ..utils.logger import get_logger
 from .base_builder import BaseDatasetBuilder
-from .nifti import load_canonical
+from .nifti import load_canonical_dhw
 from .transforms import get_seg_transforms
 
 
@@ -225,24 +225,23 @@ class Hecktor21Dataset:
         if self.drop_unlabeled and ((not lb_path) or (not os.path.exists(lb_path))):
             raise FileNotFoundError(f"[HECKTOR21] Missing label file: {lb_path} (case={case_id})")
 
-        ct = load_canonical(ct_path, dtype=np.float32)  # (X,Y,Z)
-        pt = load_canonical(pt_path, dtype=np.float32)
-        _validate_shape(ct, self.expected_shape, "ct", case_id)
-        _validate_shape(pt, self.expected_shape, "pt", case_id)
+        # fused native decode straight to (D,H,W)=(Z,Y,X)
+        ct = load_canonical_dhw(ct_path)
+        pt = load_canonical_dhw(pt_path)
+        exp_dhw = self.expected_shape[::-1] if self.expected_shape else None
+        _validate_shape(ct, exp_dhw, "ct", case_id)
+        _validate_shape(pt, exp_dhw, "pt", case_id)
 
-        # (X,Y,Z) -> (Z,Y,X) = (D,H,W), channels last
-        image = np.stack(
-            [ct.transpose(2, 1, 0), pt.transpose(2, 1, 0)], axis=-1
-        ).astype(np.float32)
+        image = np.stack([ct, pt], axis=-1)  # [D,H,W,2]
 
         if (not lb_path) or (not os.path.exists(lb_path)):
             y_np = np.zeros(ct.shape, dtype=np.uint8)
         else:
-            y = load_canonical(lb_path, dtype=np.float32)
-            _validate_shape(y, self.expected_shape, "label", case_id)
+            y = load_canonical_dhw(lb_path)
+            _validate_shape(y, exp_dhw, "label", case_id)
             y_np = to_binary_mask(y)
 
-        label = y_np.transpose(2, 1, 0)[..., None].astype(np.float32)  # [D,H,W,1]
+        label = y_np[..., None].astype(np.float32)  # [D,H,W,1]
 
         if self.strict_label_values:
             uniq = np.unique(label)

@@ -342,3 +342,59 @@ def load_canonical(path: str, dtype=np.float32) -> np.ndarray:
 def load_canonical_with_affine(path: str, dtype=np.float32) -> Tuple[np.ndarray, np.ndarray]:
     img = as_closest_canonical(load(path))
     return img.get_fdata(dtype=dtype), img.affine
+
+
+def load_canonical_dhw(path: str) -> np.ndarray:
+    """Load + canonicalize + return float32 in (D,H,W) = (Z,Y,X) order — the
+    layout the datasets feed to the device.
+
+    Fast path: the native C++ core (csrc/nifti_native.cpp) fuses gunzip +
+    cast + flips + the (X,Y,Z)->(Z,Y,X) transpose into one pass with the GIL
+    released. Applies when the volume is little-endian, 3-D, a supported
+    dtype, and its orientation is axis-aligned without permutation (the
+    overwhelmingly common case for preprocessed data); otherwise falls back
+    to the pure-Python path.
+    """
+    from . import _native
+
+    if _native.available():
+        try:
+            with open(path, "rb") as f:
+                blob = f.read()
+            if str(path).endswith(".gz"):
+                # size hint: ISIZE footer stores uncompressed size mod 2^32
+                import struct as _struct
+
+                (isize,) = _struct.unpack("<I", blob[-4:])
+                raw = _native.gunzip(blob, max(isize, 1 << 20))
+            else:
+                raw = blob
+            if raw is not None:
+                h = _parse_header(raw[:_HDR_SIZE])
+                if (
+                    h.byteorder == "<"
+                    and h.dim[0] == 3
+                    and h.datatype in (2, 4, 8, 16, 64, 256, 512, 768)
+                ):
+                    affine = _affine_from_header(h)
+                    ornt = io_orientation(affine)
+                    perm_identity = all(int(ornt[i, 0]) == i for i in range(3))
+                    if perm_identity:
+                        shape = tuple(int(d) for d in h.dim[1:4])
+                        flips = [ornt[i, 1] < 0 for i in range(3)]
+                        slope = h.scl_slope if h.scl_slope not in (0.0,) else 1.0
+                        inter = h.scl_inter if h.scl_slope != 0.0 or h.scl_inter != 0.0 else 0.0
+                        out = _native.cast_reorient_f32(
+                            raw[h.vox_offset :],
+                            h.datatype,
+                            shape,
+                            flips,
+                            slope,
+                            inter,
+                        )
+                        if out is not None:
+                            return out
+        except Exception:
+            pass  # fall through to the Python path
+
+    return np.ascontiguousarray(load_canonical(path, dtype=np.float32).transpose(2, 1, 0))
