@@ -38,7 +38,7 @@ _log.addHandler(_h)
 CPU_CACHE = os.path.join(REPO_ROOT, ".bench_cpu_baseline.json")
 
 SHAPE = (48, 144, 144, 2)  # D,H,W,C — HECKTOR21 working shape
-BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 
 
 def build_workload():

@@ -206,6 +206,18 @@ class ExperimentManager:
         hooks.append(MemoryMonitorHook())
         hooks.append(MetricsLoggerHook())
 
+        prof = get_config(self.config, "training.profile", None)
+        if prof is not None and bool(get_config(prof, "enabled", False)):
+            from .hooks import ProfilerHook
+
+            hooks.append(
+                ProfilerHook(
+                    log_dir=str(get_config(prof, "log_dir", os.path.join(run_dir, "profile"))),
+                    start_step=int(get_config(prof, "start_step", 10)),
+                    num_steps=int(get_config(prof, "num_steps", 5)),
+                )
+            )
+
         es = get_config(self.config, "training.early_stopping", None)
         if es is not None and bool(get_config(es, "enabled", False)):
             hooks.append(

@@ -144,6 +144,42 @@ class MetricsLoggerHook(HookBase):
         return f"{prefix}: {', '.join(parts)}"
 
 
+class ProfilerHook(HookBase):
+    """Captures a jax.profiler trace for a chosen span of training steps.
+
+    The TPU-native upgrade of the reference's wall-clock-only tracing
+    (SURVEY.md §5 row 1): writes an XPlane trace viewable in TensorBoard /
+    xprof, covering steps [start_step, start_step + num_steps).
+    """
+
+    def __init__(self, log_dir: str, start_step: int = 10, num_steps: int = 5):
+        self.log_dir = log_dir
+        self.start_step = int(start_step)
+        self.num_steps = int(num_steps)
+        self._active = False
+        self._done = False
+
+    def before_train_step(self):
+        if self._done or self._active:
+            return
+        if self.trainer.iter >= self.start_step:
+            os.makedirs(self.log_dir, exist_ok=True)
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+
+    def after_train_step(self):
+        if self._active and self.trainer.iter >= self.start_step + self.num_steps:
+            jax.profiler.stop_trace()
+            self._active = False
+            self._done = True
+            self.trainer.logger.info(f"Profiler trace written to {self.log_dir}")
+
+    def after_train(self):
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+
+
 class EarlyStoppingHook(HookBase):
     """Stops training when the monitored eval metric stops improving.
 

@@ -31,7 +31,13 @@ from ...conf.node import ConfigNode
 from ...ops.augment import rand_intensity_scale_shift
 from ...ops.intensity import make_intensity_normalizer
 from ...ops.losses import make_dice_ce_loss
-from ...parallel.mesh import batch_sharding, pad_batch_to_multiple, replicated, shard_batch
+from ...parallel.mesh import (
+    batch_sharding,
+    data_axis_size,
+    pad_batch_to_multiple,
+    replicated,
+    shard_batch,
+)
 from ...utils.config import get_config
 from ..trainer_base import TrainerBase
 
@@ -159,7 +165,7 @@ class SegTrainer(TrainerBase):
         n_valid = image.shape[0]
         if self.mesh is not None:
             padded, n_valid = pad_batch_to_multiple(
-                {"image": image, "label": label}, self.mesh.devices.size
+                {"image": image, "label": label}, data_axis_size(self.mesh)
             )
             sharded = shard_batch(padded, self.mesh)
             image, label = sharded["image"], sharded["label"]

@@ -210,7 +210,9 @@ class SegmentationEvaluationStrategy:
             self._eval_step = self._build_eval_step(mesh)
             self._mesh_sig = id(mesh)
 
-        n_dev = mesh.devices.size if mesh is not None else 1
+        from ..parallel.mesh import data_axis_size
+
+        n_dev = data_axis_size(mesh) if mesh is not None else 1
 
         for batch in tqdm(data_loader, desc="Evaluate SEG (regions)", leave=False):
             image = np.asarray(batch["image"], dtype=np.float32)

@@ -62,12 +62,21 @@ def _minplus_lastaxis(f: jnp.ndarray, spacing: float, chunk: int = 256) -> jnp.n
 
     f: [..., n] squared-distance estimates; returns
     g[..., i] = min_j f[..., j] + ((i-j)*spacing)^2.
-    Rows are processed in chunks of ``chunk`` to bound the n^2 broadcast.
+
+    On TPU the O(n^2) min-add runs as a VMEM-tiled Pallas kernel
+    (pallas/edt_minplus.py); elsewhere rows are processed in chunks of
+    ``chunk`` to bound the broadcast temporaries.
     """
     n = f.shape[-1]
     f2 = f.reshape(-1, n)
     i = jnp.arange(n, dtype=f.dtype)
     cost = ((i[None, :] - i[:, None]) * spacing) ** 2  # [j, i]
+
+    from ..pallas.edt_minplus import minplus_pallas, tpu_available
+
+    if tpu_available():
+        out2 = minplus_pallas(f2, cost)
+        return out2.reshape(f.shape)
 
     n_rows = f2.shape[0]
     pad_rows = (-n_rows) % chunk

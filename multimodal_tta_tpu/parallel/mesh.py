@@ -86,12 +86,24 @@ def mesh_from_config(config) -> Mesh:
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) dim over the data axis, replicate the rest."""
+    """Volume sharding over the mesh: batch dim over the data axis, and —
+    when the mesh has a non-trivial space axis — the depth (D) spatial dim
+    over the space axis. XLA's SPMD partitioner inserts the conv halo
+    exchanges over ICI automatically, which is how whole volumes larger than
+    one chip's HBM train without manual ring logic (SURVEY.md §2.2
+    sequence-parallel row: the 'long context' axis here is spatial)."""
+    if mesh.shape.get(SPACE_AXIS, 1) > 1:
+        return NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def data_axis_size(mesh: Mesh) -> int:
+    """Batch-dim divisibility requirement (the data axis extent)."""
+    return int(mesh.shape.get(DATA_AXIS, 1))
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:

@@ -1,0 +1,107 @@
+"""CLI end-to-end tests: main.py train, adapt.py TTA, sweep_tta.py."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pandas as pd
+import pytest
+
+from fixtures import make_hecktor_fixture
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(script, overrides, timeout=1800):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache"
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
+    env["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "-1"
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, script)] + overrides,
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=timeout,
+        cwd=REPO_ROOT,
+    )
+
+
+@pytest.fixture(scope="module")
+def fixture_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    manifest = make_hecktor_fixture(
+        str(root / "data"), shape=(16, 16, 16), centers={"CHUS": 3, "CHUM": 3, "CHGJ": 3}
+    )
+    return {"manifest": manifest, "root": str(root)}
+
+
+def common_overrides(fx, run_name):
+    return [
+        f"dataset.manifest_csv={fx['manifest']}",
+        "dataset.expected_shape=[16,16,16]",
+        "dataset.val_per_center=1",
+        "training.epochs=1",
+        "training.batch_size=2",
+        "training.eval_batch_size=2",
+        "training.num_workers=0",
+        "training.compute_dtype=float32",
+        "training.data.transforms.image_size=[16,16,16]",
+        "training.model_save_start=1",
+        "training.model_save_freq=1",
+        "model.channels=[2,4,8,16,32]",
+        "model.num_res_units=1",
+        f"task.save_dir={fx['root']}/outputs",
+        f"task.run_name={run_name}",
+    ]
+
+
+class TestMainCLI:
+    def test_train_run(self, fixture_env):
+        proc = run_cli("main.py", common_overrides(fixture_env, "cli_train"))
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        # run dir with log + checkpoints exists
+        base = os.path.join(fixture_env["root"], "outputs", "cli_train")
+        runs = os.listdir(base)
+        assert runs
+        run_dir = os.path.join(base, sorted(runs)[-1])
+        assert os.path.exists(os.path.join(run_dir, "train.log"))
+        ckpts = os.listdir(os.path.join(run_dir, "checkpoints"))
+        assert any(c.endswith(".msgpack") for c in ckpts)
+
+
+class TestAdaptCLI:
+    def test_tta_run(self, fixture_env):
+        proc = run_cli(
+            "adapt.py",
+            common_overrides(fixture_env, "cli_tta")
+            + ["tta=tent", "tta.steps=1", "tta.report_no_adapt=true"],
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        base = os.path.join(fixture_env["root"], "outputs", "cli_tta")
+        run_dir = os.path.join(base, sorted(os.listdir(base))[-1])
+        with open(os.path.join(run_dir, "tta_metrics.json")) as f:
+            metrics = json.load(f)
+        assert "adapted" in metrics and "no_adapt" in metrics
+        assert "gtvt_dc" in metrics["adapted"]
+        assert "dom/CHUS/avg_dc" in metrics["adapted"]
+
+
+class TestSweepCLI:
+    def test_sweep(self, fixture_env):
+        proc = run_cli(
+            "scripts/sweep_tta.py",
+            common_overrides(fixture_env, "cli_sweep")
+            + ["tta=tent", "tta.steps=1", 'sweep.centers=["CHUS","CHUM"]'],
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        base = os.path.join(fixture_env["root"], "outputs", "cli_sweep")
+        run_dir = os.path.join(base, sorted(os.listdir(base))[-1])
+        with open(os.path.join(run_dir, "sweep_metrics.json")) as f:
+            summary = json.load(f)
+        assert set(summary["centers"].keys()) == {"CHUS", "CHUM"}
+        assert summary["total_cases"] == 6
+        assert summary["cases_per_second"] > 0
