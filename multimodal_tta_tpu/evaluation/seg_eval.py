@@ -107,6 +107,15 @@ class SegmentationEvaluationStrategy:
         self.enable_surface = bool(get_config(surf_cfg, "enable", False))
         self.asd_symmetric = bool(get_config(surf_cfg, "asd_symmetric", False))
 
+        # Optional sliding-window inference (for volumes larger than HBM
+        # allows whole; BASELINE.json north star). Whole-volume forward when
+        # disabled — the reference's only mode (seg_eval.py:300).
+        sw_cfg = get_config(self.config, "evaluation.sliding_window", ConfigNode())
+        self.sw_enable = bool(get_config(sw_cfg, "enable", False))
+        self.sw_roi = tuple(int(x) for x in get_config(sw_cfg, "roi_size", [64, 64, 64]))
+        self.sw_overlap = float(get_config(sw_cfg, "overlap", 0.25))
+        self.sw_mode = str(get_config(sw_cfg, "mode", "gaussian"))
+
         crit_cfg = get_config(self.config, "training.criterion", ConfigNode())
         # Eval loss mirrors training config but always sigmoid (reference:
         # seg_eval.py:209-220 builds DiceCELoss with sigmoid=True).
@@ -138,11 +147,27 @@ class SegmentationEvaluationStrategy:
         spacing = self.spacing
         asd_symmetric = self.asd_symmetric
 
+        sw_enable = self.sw_enable
+        sw_roi, sw_overlap, sw_mode = self.sw_roi, self.sw_overlap, self.sw_mode
+        n_regions = len(self.region_order)
+
         def step(state, image, label):
             variables = {"params": state.params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            logits = state.apply_fn(variables, image, train=False)
+            if sw_enable:
+                from ..ops.sliding_window import sliding_window_inference
+
+                logits = sliding_window_inference(
+                    lambda w: state.apply_fn(variables, w, train=False),
+                    image,
+                    sw_roi,
+                    num_classes=n_regions,
+                    overlap=sw_overlap,
+                    mode=sw_mode,
+                )
+            else:
+                logits = state.apply_fn(variables, image, train=False)
 
             prob = jax.nn.sigmoid(logits)
             pred = (prob >= threshold).astype(jnp.float32)

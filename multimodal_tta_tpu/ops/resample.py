@@ -92,24 +92,18 @@ def affine_gather_resample(
     """Sample ``data`` (X,Y,Z) at continuous indices M @ i + t for every output
     index i in out_shape. Out-of-bounds -> default_value."""
     if use_jax:
-        import jax
+        import jax.numpy as jnp
 
         out = _affine_gather_jax(
-            jax_asarray(data),
-            tuple(np.asarray(M, np.float32).reshape(-1).tolist()),
-            tuple(np.asarray(t, np.float32).reshape(-1).tolist()),
+            jnp.asarray(data),
+            jnp.asarray(np.asarray(M, np.float32).reshape(3, 3)),
+            jnp.asarray(np.asarray(t, np.float32).reshape(3)),
             tuple(int(s) for s in out_shape),
             method,
             float(default_value),
         )
         return np.asarray(out)
     return _affine_gather_np(data, M, t, out_shape, method, default_value)
-
-
-def jax_asarray(x):
-    import jax.numpy as jnp
-
-    return jnp.asarray(x)
 
 
 def _interp_core(data, coords, method: str, default_value: float, xp):
@@ -170,21 +164,21 @@ def _make_coords(M, t, out_shape, xp):
     iz = xp.arange(out_shape[2])
     gx, gy, gz = xp.meshgrid(ix, iy, iz, indexing="ij")
     idx = xp.stack([gx.reshape(-1), gy.reshape(-1), gz.reshape(-1)]).astype("float32")  # [3,N]
-    M = xp.asarray(np.asarray(M, np.float32).reshape(3, 3))
-    t = xp.asarray(np.asarray(t, np.float32).reshape(3, 1))
+    M = xp.asarray(M, dtype="float32").reshape(3, 3)
+    t = xp.asarray(t, dtype="float32").reshape(3, 1)
     return M @ idx + t
 
 
 def _affine_gather_np(data, M, t, out_shape, method, default_value):
-    coords = _make_coords(M, t, out_shape, np)
+    coords = _make_coords(np.asarray(M), np.asarray(t), out_shape, np)
     vals = _interp_core(np.asarray(data), coords, method, default_value, np)
     return vals.reshape(out_shape)
 
 
-def _affine_gather_jax_impl(data, M_flat, t_flat, out_shape, method, default_value):
+def _affine_gather_jax_impl(data, M, t, out_shape, method, default_value):
     import jax.numpy as jnp
 
-    coords = _make_coords(np.asarray(M_flat).reshape(3, 3), np.asarray(t_flat), out_shape, jnp)
+    coords = _make_coords(M, t, out_shape, jnp)
     vals = _interp_core(data, coords, method, default_value, jnp)
     return vals.reshape(out_shape)
 
@@ -192,9 +186,9 @@ def _affine_gather_jax_impl(data, M_flat, t_flat, out_shape, method, default_val
 try:
     import jax as _jax
 
-    _affine_gather_jax = _jax.jit(
-        _affine_gather_jax_impl, static_argnums=(1, 2, 3, 4, 5)
-    )
+    # M/t stay dynamic so a new per-case transform never triggers a
+    # recompile; only distinct (out_shape, method) pairs compile fresh.
+    _affine_gather_jax = _jax.jit(_affine_gather_jax_impl, static_argnums=(3, 4, 5))
 except Exception:  # pragma: no cover
     _affine_gather_jax = _affine_gather_jax_impl
 

@@ -230,3 +230,66 @@ class TestEvalIntegration:
         diag = seg_eval.diag_mm_from_shape(12, 12, 12, (1, 1, 1))
         assert metrics["gtvt_hd95"] == pytest.approx(diag, abs=1e-4)
         assert metrics["gtvt_asd"] == pytest.approx(diag, abs=1e-4)
+
+
+class TestSlidingWindowEval:
+    def test_seg_eval_sliding_window_matches_whole(self):
+        """With roi == volume size, SW eval equals whole-volume eval."""
+        import optax
+        import jax.numpy as jnp
+        from multimodal_tta_tpu.conf import ConfigNode
+        from multimodal_tta_tpu.core.train_state import TrainState
+        from multimodal_tta_tpu.evaluation import SegmentationEvaluationStrategy
+        from multimodal_tta_tpu.models import UNet3D
+        import jax
+
+        m = UNet3D(in_channels=1, num_classes=1, channels=(2, 4, 8, 16, 32),
+                   strides=(2, 2, 2, 2), num_res_units=1)
+        x = np.random.RandomState(0).randn(2, 16, 16, 16, 1).astype(np.float32)
+        gt = (np.random.RandomState(1).rand(2, 16, 16, 16, 1) > 0.5).astype(np.float32)
+        v = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        state = TrainState.create(apply_fn=m.apply, params=v["params"], tx=optax.identity())
+
+        base_cfg = {
+            "evaluation": {"seg": {"region_order": ["gtvt"], "threshold": 0.5}},
+            "training": {"criterion": {"sigmoid": True}},
+        }
+        whole = SegmentationEvaluationStrategy(ConfigNode(base_cfg))
+        sw_cfg = dict(base_cfg)
+        sw_cfg["evaluation"] = {
+            **base_cfg["evaluation"],
+            "sliding_window": {"enable": True, "roi_size": [16, 16, 16], "overlap": 0.5},
+        }
+        sw = SegmentationEvaluationStrategy(ConfigNode(sw_cfg))
+
+        batch = {"image": x, "label": gt, "domain": ["a", "b"]}
+        m1 = whole.evaluate_epoch(state, [batch], mesh=None)
+        m2 = sw.evaluate_epoch(state, [batch], mesh=None)
+        assert m1["gtvt_dc"] == pytest.approx(m2["gtvt_dc"], abs=1e-4)
+
+    def test_seg_eval_sliding_window_smaller_roi_runs(self):
+        import optax
+        import jax
+        import jax.numpy as jnp
+        from multimodal_tta_tpu.conf import ConfigNode
+        from multimodal_tta_tpu.core.train_state import TrainState
+        from multimodal_tta_tpu.evaluation import SegmentationEvaluationStrategy
+        from multimodal_tta_tpu.models import UNet3D
+
+        m = UNet3D(in_channels=1, num_classes=1, channels=(2, 4, 8, 16, 32),
+                   strides=(2, 2, 2, 2), num_res_units=1)
+        x = np.random.RandomState(2).randn(1, 32, 32, 32, 1).astype(np.float32)
+        gt = (np.random.RandomState(3).rand(1, 32, 32, 32, 1) > 0.5).astype(np.float32)
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 1)))
+        state = TrainState.create(apply_fn=m.apply, params=v["params"], tx=optax.identity())
+
+        cfg = ConfigNode({
+            "evaluation": {
+                "seg": {"region_order": ["gtvt"], "threshold": 0.5},
+                "sliding_window": {"enable": True, "roi_size": [16, 16, 16], "overlap": 0.25},
+            },
+            "training": {"criterion": {"sigmoid": True}},
+        })
+        strat = SegmentationEvaluationStrategy(cfg)
+        metrics = strat.evaluate_epoch(state, [{"image": x, "label": gt, "domain": ["d"]}], mesh=None)
+        assert 0.0 <= metrics["gtvt_dc"] <= 1.0
