@@ -99,28 +99,39 @@ class ConfigNode:
 
     # ---------- dotted-path helpers ----------
     def select(self, path: str, default: Any = _MISSING) -> Any:
-        """Return the value at dotted ``path`` or ``default`` (None if unset)."""
+        """Return the value at dotted ``path`` or ``default`` (None if unset).
+        Numeric components index into lists (Hydra list-override grammar)."""
         node: Any = self
         for part in str(path).split("."):
-            if isinstance(node, ConfigNode) and part in node:
+            if isinstance(node, (ConfigNode, dict)) and part in node:
                 node = node[part]
-            elif isinstance(node, dict) and part in node:
-                node = node[part]
+            elif isinstance(node, list) and part.lstrip("-").isdigit() and -len(node) <= int(part) < len(node):
+                node = node[int(part)]
             else:
                 return None if default is _MISSING else default
         return node
 
     def set_path(self, path: str, value: Any) -> None:
-        """Set value at dotted ``path``, creating intermediate nodes."""
+        """Set value at dotted ``path``, creating intermediate nodes. Numeric
+        components index existing lists (out-of-range indices error)."""
         parts = str(path).split(".")
-        node: ConfigNode = self
-        for part in parts[:-1]:
+        node: Any = self
+        for i, part in enumerate(parts[:-1]):
+            if isinstance(node, list):
+                if not part.lstrip("-").isdigit():
+                    raise KeyError(f"Cannot key list with '{part}' in path '{path}'")
+                node = node[int(part)]
+                continue
             nxt = node.get(part)
-            if not isinstance(nxt, ConfigNode):
+            if not isinstance(nxt, (ConfigNode, list)):
                 nxt = ConfigNode()
                 node[part] = nxt
             node = nxt
-        node[parts[-1]] = value
+        last = parts[-1]
+        if isinstance(node, list):
+            node[int(last)] = _wrap(value)
+        else:
+            node[last] = value
 
     def has_path(self, path: str) -> bool:
         sentinel = object()
