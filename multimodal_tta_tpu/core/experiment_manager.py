@@ -52,6 +52,12 @@ class ExperimentManager:
         self.task_name = require_config(config, "task.name")
         self.eval_strategy_name = get_config(config, "task.eval_strategy")
 
+        # Numerical sanitizer (SURVEY.md §5 sanitizers row): aborts with a
+        # traceback at the first NaN/Inf produced under jit.
+        if bool(get_config(config, "training.debug_nans", False)):
+            jax.config.update("jax_debug_nans", True)
+            self.logger.info("jax_debug_nans enabled")
+
         self.mesh = mesh_from_config(config)
 
         self.module = None
