@@ -189,7 +189,7 @@ class TrainerBase(ABC):
         for h in self._hooks:
             h.before_train_epoch()
 
-        pbar = tqdm(data_loader, desc=f"Epoch {epoch} [Train]", leave=False)
+        pbar = tqdm(self._wrap_loader(data_loader), desc=f"Epoch {epoch} [Train]", leave=False)
         for batch in pbar:
             for h in self._hooks:
                 h.before_train_step()
@@ -211,6 +211,10 @@ class TrainerBase(ABC):
     @abstractmethod
     def run_step(self, batch) -> Dict[str, float]:
         ...
+
+    def _wrap_loader(self, loader):
+        """Optionally wrap the epoch's batch iterator (e.g. device prefetch)."""
+        return loader
 
     def _set_lr(self, lr: float) -> None:
         from .optim import set_learning_rate

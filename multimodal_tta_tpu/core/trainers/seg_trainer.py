@@ -153,27 +153,48 @@ class SegTrainer(TrainerBase):
                     f"image={tuple(image.shape)}."
                 )
 
+    def _wrap_loader(self, loader):
+        from ...data.prefetch import prefetch_to_device
+
+        return prefetch_to_device(loader, self.mesh)
+
     def run_step(self, batch: Dict[str, Any]) -> Dict[str, float]:
-        image = np.asarray(batch["image"], dtype=np.float32)
-        label = np.asarray(batch["label"])
-        self._check_shapes(image, label)
+        image, label = batch["image"], batch["label"]
+        self._check_shapes_meta(image, label)
 
         if self._train_step is None:
             self._train_step = self._build_train_step()
 
         self._rng, step_key = jax.random.split(self._rng)
-        n_valid = image.shape[0]
-        if self.mesh is not None:
-            padded, n_valid = pad_batch_to_multiple(
-                {"image": image, "label": label}, data_axis_size(self.mesh)
-            )
-            sharded = shard_batch(padded, self.mesh)
-            image, label = sharded["image"], sharded["label"]
+
+        if "_n_valid" in batch:
+            # already padded + device-put by the prefetcher
+            n_valid = int(batch["_n_valid"])
+        else:
+            image = np.asarray(image, dtype=np.float32)
+            label = np.asarray(label)
+            n_valid = image.shape[0]
+            if self.mesh is not None:
+                padded, n_valid = pad_batch_to_multiple(
+                    {"image": image, "label": label}, data_axis_size(self.mesh)
+                )
+                sharded = shard_batch(padded, self.mesh)
+                image, label = sharded["image"], sharded["label"]
 
         self.state, metrics = self._train_step(
             self.state, image, label, step_key, np.int32(n_valid)
         )
         return {"loss": float(metrics["loss"])}
+
+    def _check_shapes_meta(self, image, label) -> None:
+        """Shape-contract checks on array metadata (no host transfer)."""
+
+        class _V:
+            def __init__(self, shape):
+                self.shape = tuple(shape)
+                self.ndim = len(shape)
+
+        self._check_shapes(_V(image.shape), _V(label.shape))
 
     # ------------------------------------------------------------------
     def _is_best_model(self, eval_stats: Dict[str, float]) -> bool:

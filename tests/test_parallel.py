@@ -111,3 +111,28 @@ class TestPadBatch:
         batch = {"image": np.ones((8, 2))}
         padded, n = pad_batch_to_multiple(batch, 4, array_keys=("image",))
         assert n == 8 and padded["image"].shape[0] == 8
+
+
+class TestPrefetch:
+    def test_prefetch_to_device(self):
+        from multimodal_tta_tpu.data.prefetch import prefetch_to_device
+
+        mesh = make_mesh()
+        batches = [
+            {"image": np.full((5, 2, 2, 1), i, np.float32), "label": np.ones((5, 2, 2, 1), np.float32), "domain": ["d"] * 5}
+            for i in range(4)
+        ]
+        out = list(prefetch_to_device(iter(batches), mesh, depth=2))
+        assert len(out) == 4
+        for i, b in enumerate(out):
+            assert b["_n_valid"] == 5
+            assert b["image"].shape[0] == 8  # padded to mesh data size
+            assert float(np.asarray(b["image"])[0, 0, 0, 0]) == i
+            assert b["domain"] == ["d"] * 5
+
+    def test_prefetch_no_mesh(self):
+        from multimodal_tta_tpu.data.prefetch import prefetch_to_device
+
+        batches = [{"image": np.zeros((3, 2), np.float32)}]
+        out = list(prefetch_to_device(iter(batches), None))
+        assert out[0]["_n_valid"] == 3
