@@ -1,0 +1,132 @@
+"""TrainerBase unit tests: eval/test scheduling, hooks lifecycle, early stop."""
+
+import numpy as np
+import pytest
+
+from multimodal_tta_tpu.conf import ConfigNode
+from multimodal_tta_tpu.core.trainer_base import HookBase, TrainerBase
+from multimodal_tta_tpu.core.hooks import EarlyStoppingHook
+
+
+class _ToyTrainer(TrainerBase):
+    """Minimal concrete trainer: counts steps, no jax."""
+
+    def __init__(self, config):
+        super().__init__(config)
+        self.state = object()
+        self.steps = 0
+
+    def run_step(self, batch):
+        self.steps += 1
+        return {"loss": 1.0 / self.steps}
+
+
+class _FakeStrategy:
+    def __init__(self, losses):
+        self.losses = list(losses)
+        self.calls = 0
+
+    def evaluate_epoch(self, state, loader, mesh=None, **kw):
+        self.calls += 1
+        return {"loss": self.losses.pop(0) if self.losses else 0.0, "avg_dc": 0.5}
+
+
+def cfg(schedule=None, do_test=False):
+    c = {
+        "training": {
+            "eval_test": {
+                "start_epoch": 0,
+                "every_n_epochs": 1,
+                "run_last": True,
+                "do_val": True,
+                "do_test": do_test,
+            }
+        }
+    }
+    if schedule:
+        c["training"]["eval_test"].update(schedule)
+    return ConfigNode(c)
+
+
+class TestEvalSchedule:
+    """Parity with reference trainer_base.py:154-175 (0-based epochs)."""
+
+    def test_every_epoch(self):
+        t = _ToyTrainer(cfg())
+        assert all(t._should_run_eval_test(e, 10) for e in range(10))
+
+    def test_every_n(self):
+        t = _ToyTrainer(cfg({"every_n_epochs": 5}))
+        runs = [e for e in range(20) if t._should_run_eval_test(e, 20)]
+        assert runs == [0, 5, 10, 15, 19]  # run_last forces 19
+
+    def test_start_epoch(self):
+        t = _ToyTrainer(cfg({"start_epoch": 3, "every_n_epochs": 2, "run_last": False}))
+        runs = [e for e in range(10) if t._should_run_eval_test(e, 10)]
+        assert runs == [3, 5, 7, 9]
+
+    def test_run_last_forced(self):
+        t = _ToyTrainer(cfg({"every_n_epochs": 100, "run_last": True}))
+        assert t._should_run_eval_test(6, 7)
+        assert not t._should_run_eval_test(5, 7)
+
+    def test_invalid_interval_treated_as_1(self):
+        t = _ToyTrainer(cfg({"every_n_epochs": 0}))
+        assert t._should_run_eval_test(1, 5)
+
+
+class TestTrainLoop:
+    def _loader(self, n=3):
+        return [{"x": i} for i in range(n)]
+
+    def test_history_and_hooks(self):
+        events = []
+
+        class Recorder(HookBase):
+            def before_train(self):
+                events.append("before_train")
+
+            def after_train(self):
+                events.append("after_train")
+
+            def before_train_epoch(self):
+                events.append("bte")
+
+            def after_train_epoch(self):
+                events.append("ate")
+
+            def on_epoch_end(self, epoch, train_stats, eval_stats, is_best):
+                events.append(f"end{epoch}")
+
+        t = _ToyTrainer(cfg())
+        strategy = _FakeStrategy([0.5, 0.4])
+        t.setup(object(), strategy)
+        t.register_hooks([Recorder()])
+        out = t.train(2, self._loader(), val_loader=self._loader())
+
+        assert len(out["train_history"]) == 2
+        assert len(out["eval_history"]) == 2
+        assert out["eval_history"][0]["loss"] == 0.5
+        assert events[0] == "before_train" and events[-1] == "after_train"
+        assert "end0" in events and "end1" in events
+
+    def test_eval_history_empty_when_not_scheduled(self):
+        t = _ToyTrainer(cfg({"every_n_epochs": 2, "run_last": False}))
+        t.setup(object(), _FakeStrategy([0.5, 0.4]))
+        out = t.train(3, self._loader(), val_loader=self._loader())
+        assert out["eval_history"][1] == {}  # epoch 1 skipped
+
+    def test_early_stopping_raises_stop(self):
+        t = _ToyTrainer(cfg())
+        t.setup(object(), _FakeStrategy([1.0, 1.1, 1.2, 1.3, 1.4, 1.5]))
+        t.register_hooks([EarlyStoppingHook(metric="loss", mode="min", patience=1)])
+        out = t.train(6, self._loader(), val_loader=self._loader())
+        # stopped before finishing all 6 epochs
+        assert len(out["train_history"]) < 6
+
+    def test_test_loader_called_when_enabled(self):
+        t = _ToyTrainer(cfg(do_test=True))
+        strategy = _FakeStrategy([0.5, 0.4, 0.3, 0.2])
+        t.setup(object(), strategy)
+        t.train(2, self._loader(), val_loader=self._loader(), test_loader=self._loader())
+        assert strategy.calls == 4  # 2 val + 2 test
