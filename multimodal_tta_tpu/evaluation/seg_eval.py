@@ -31,7 +31,7 @@ from tqdm import tqdm
 from ..conf.node import ConfigNode
 from ..ops.losses import make_dice_ce_loss
 from ..ops.seg_metrics import binary_dice_iou
-from ..parallel.mesh import batch_sharding, pad_batch_to_multiple, replicated, shard_batch
+from ..parallel.mesh import batch_sharding, replicated
 from ..registry import register_evaluation_strategy
 from ..utils.config import get_config
 from ..utils.logger import get_logger
@@ -235,35 +235,30 @@ class SegmentationEvaluationStrategy:
             self._eval_step = self._build_eval_step(mesh)
             self._mesh_sig = id(mesh)
 
-        from ..parallel.mesh import data_axis_size
+        from ..data.prefetch import prefetch_to_device
 
-        n_dev = data_axis_size(mesh) if mesh is not None else 1
+        # pad + shard + H2D one batch ahead of the eval step
+        stream = prefetch_to_device(data_loader, mesh)
 
-        for batch in tqdm(data_loader, desc="Evaluate SEG (regions)", leave=False):
-            image = np.asarray(batch["image"], dtype=np.float32)
-            label = np.asarray(batch["label"], dtype=np.float32)
+        for batch in tqdm(stream, desc="Evaluate SEG (regions)", leave=False):
+            image = batch["image"]
+            label = batch["label"]
             if label.ndim != image.ndim:
                 raise ValueError(f"[SegEval] label must be [B,...,R], got {label.shape}")
             if int(label.shape[-1]) != R:
                 raise ValueError(
                     f"[SegEval] label channels={label.shape[-1]} but region_order={R}"
                 )
-            B = image.shape[0]
+            B = int(batch["_n_valid"])
             domains = as_list_str(batch.get("domain"), B)
-
-            padded, n_orig = pad_batch_to_multiple(
-                {"image": image, "label": label}, n_dev
-            )
-            if mesh is not None:
-                padded = shard_batch(padded, mesh)
 
             eval_state = state
             if adapt_fn is not None:
-                eval_state = adapt_fn(state, padded["image"], B)
+                eval_state = adapt_fn(state, image, B)
                 if carry_state:
                     state = eval_state
 
-            out = self._eval_step(eval_state, padded["image"], padded["label"])
+            out = self._eval_step(eval_state, image, label)
             dice = np.asarray(out["dice"])[:B]
             iou = np.asarray(out["iou"])[:B]
             valid = np.asarray(out["valid"])[:B]
