@@ -58,6 +58,9 @@ class ExperimentManager:
             jax.config.update("jax_debug_nans", True)
             self.logger.info("jax_debug_nans enabled")
 
+        from ..parallel.distributed import maybe_initialize_distributed
+
+        maybe_initialize_distributed()  # no-op unless a multi-host launch is detected
         self.mesh = mesh_from_config(config)
 
         self.module = None

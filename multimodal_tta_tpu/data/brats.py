@@ -25,7 +25,7 @@ from ..registry import register_dataset_builder
 from ..utils.config import get_config, require_config
 from ..utils.logger import get_logger
 from .base_builder import BaseDatasetBuilder
-from .nifti import load_canonical_dhw
+from .nifti import DecodedCache, load_canonical_dhw
 from .transforms import get_seg_transforms
 
 REGION_ORDER: List[str] = ["ET", "TC", "WT"]
@@ -164,6 +164,7 @@ class BratsMultiSourceNiftiDataset:
         transform: Optional[Callable] = None,
         logger=None,
         strict_label_values: bool = False,
+        cache_in_memory: bool = False,
     ):
         self.logger = logger or get_logger()
         self.split = str(split).lower()
@@ -172,6 +173,7 @@ class BratsMultiSourceNiftiDataset:
         self.drop_unlabeled = bool(drop_unlabeled)
         self.transform = transform
         self.strict_label_values = bool(strict_label_values)
+        self._cache = DecodedCache() if cache_in_memory else None
         self._epoch = 0
 
         self._index: List[Tuple[SourceSpec, str, Dict[str, Any]]] = []
@@ -214,7 +216,8 @@ class BratsMultiSourceNiftiDataset:
             p = info["modalities"][mod]
             if not os.path.exists(p):
                 raise FileNotFoundError(f"[BraTS] Missing image file: {p} (case={case_id}, mod={mod})")
-            vol = load_canonical_dhw(p)  # fused decode to (D,H,W)=(Z,Y,X)
+            load = self._cache.get_or_load if self._cache is not None else load_canonical_dhw
+            vol = load(p)  # fused decode to (D,H,W)=(Z,Y,X)
             self._validate_shape_dhw(vol, f"image/{mod}", case_id)
             vols.append(vol)
 
@@ -224,7 +227,8 @@ class BratsMultiSourceNiftiDataset:
         if (not label_path) or (not os.path.exists(label_path)):
             y_np = np.zeros(image.shape[:3], dtype=np.int16)
         else:
-            y = load_canonical_dhw(label_path)
+            load = self._cache.get_or_load if self._cache is not None else load_canonical_dhw
+            y = load(label_path)
             self._validate_shape_dhw(y, "label", case_id)
             y_np = safe_round_label(y)  # [D,H,W]
 
@@ -280,6 +284,7 @@ class BratsMultiNiftiBuilder(BaseDatasetBuilder):
         exp_shape = get_config(dcfg, "expected_shape", None)
         self.expected_shape = tuple(exp_shape) if exp_shape is not None else None
         self.strict_label_values = bool(get_config(dcfg, "strict_label_values", False))
+        self.cache_in_memory = bool(get_config(dcfg, "cache_in_memory", False))
 
         sources_cfg = get_config(dcfg, "sources", None)
         if sources_cfg is None:
@@ -385,4 +390,5 @@ class BratsMultiNiftiBuilder(BaseDatasetBuilder):
             strict_label_values=bool(
                 overrides.get("strict_label_values", self.strict_label_values)
             ),
+            cache_in_memory=bool(overrides.get("cache_in_memory", self.cache_in_memory)),
         )

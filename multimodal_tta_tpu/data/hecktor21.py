@@ -27,7 +27,7 @@ from ..registry import register_dataset_builder
 from ..utils.config import get_config, require_config
 from ..utils.logger import get_logger
 from .base_builder import BaseDatasetBuilder
-from .nifti import load_canonical_dhw
+from .nifti import DecodedCache, load_canonical_dhw
 from .transforms import get_seg_transforms
 
 
@@ -113,6 +113,7 @@ class Hecktor21Dataset:
         center_code_col: str = "center_code",
         center_id_col: str = "center_id",
         transform: Optional[Callable] = None,
+        cache_in_memory: bool = False,
         logger=None,
     ):
         self.logger = logger or get_logger()
@@ -125,6 +126,7 @@ class Hecktor21Dataset:
         self.strict_label_values = bool(strict_label_values)
         self.root_dir = root_dir
         self.transform = transform
+        self._cache = DecodedCache() if cache_in_memory else None
         self._epoch = 0
 
         self.patient_col = patient_col
@@ -226,8 +228,9 @@ class Hecktor21Dataset:
             raise FileNotFoundError(f"[HECKTOR21] Missing label file: {lb_path} (case={case_id})")
 
         # fused native decode straight to (D,H,W)=(Z,Y,X)
-        ct = load_canonical_dhw(ct_path)
-        pt = load_canonical_dhw(pt_path)
+        load = self._cache.get_or_load if self._cache is not None else load_canonical_dhw
+        ct = load(ct_path)
+        pt = load(pt_path)
         exp_dhw = self.expected_shape[::-1] if self.expected_shape else None
         _validate_shape(ct, exp_dhw, "ct", case_id)
         _validate_shape(pt, exp_dhw, "pt", case_id)
@@ -237,7 +240,7 @@ class Hecktor21Dataset:
         if (not lb_path) or (not os.path.exists(lb_path)):
             y_np = np.zeros(ct.shape, dtype=np.uint8)
         else:
-            y = load_canonical_dhw(lb_path)
+            y = load(lb_path)
             _validate_shape(y, exp_dhw, "label", case_id)
             y_np = to_binary_mask(y)
 
@@ -292,6 +295,7 @@ class Hecktor21Builder(BaseDatasetBuilder):
         self.center_id_col = str(get_config(dcfg, "center_id_col", "center_id"))
         self.root_dir = get_config(dcfg, "root_dir", None)
 
+        self.cache_in_memory = bool(get_config(dcfg, "cache_in_memory", False))
         self.target_center = str(require_config(dcfg, "target_center", type_=str))
         self.val_per_center = int(get_config(dcfg, "val_per_center", 5))
         self.split_seed = int(get_config(dcfg, "split_seed", 2026))
@@ -356,5 +360,6 @@ class Hecktor21Builder(BaseDatasetBuilder):
             center_code_col=self.center_code_col,
             center_id_col=self.center_id_col,
             transform=transform,
+            cache_in_memory=bool(overrides.get("cache_in_memory", self.cache_in_memory)),
             logger=self.logger,
         )

@@ -344,6 +344,40 @@ def load_canonical_with_affine(path: str, dtype=np.float32) -> Tuple[np.ndarray,
     return img.get_fdata(dtype=dtype), img.affine
 
 
+class DecodedCache:
+    """Bounded in-memory cache of decoded canonical volumes.
+
+    The reference re-decodes every NIfTI each epoch in its DataLoader workers
+    (reference: SURVEY.md §3.4); for 300-epoch runs over modest datasets the
+    decode cost dominates host time. Enabled per dataset via
+    ``dataset.cache_in_memory``; thread-safe for the HostLoader pool.
+    """
+
+    def __init__(self, max_bytes: int = 8 << 30):
+        import threading
+
+        self.max_bytes = int(max_bytes)
+        self._lock = threading.Lock()
+        self._data: dict = {}
+        self._bytes = 0
+        self.hits = 0
+        self.misses = 0
+
+    def get_or_load(self, path: str) -> np.ndarray:
+        with self._lock:
+            hit = self._data.get(path)
+            if hit is not None:
+                self.hits += 1
+                return hit
+        arr = load_canonical_dhw(path)
+        with self._lock:
+            self.misses += 1
+            if path not in self._data and self._bytes + arr.nbytes <= self.max_bytes:
+                self._data[path] = arr
+                self._bytes += arr.nbytes
+        return arr
+
+
 def load_canonical_dhw(path: str) -> np.ndarray:
     """Load + canonicalize + return float32 in (D,H,W) = (Z,Y,X) order — the
     layout the datasets feed to the device.

@@ -1,3 +1,4 @@
+from .distributed import is_primary_host, maybe_initialize_distributed  # noqa: F401
 from .mesh import (  # noqa: F401
     DATA_AXIS,
     SPACE_AXIS,
@@ -11,6 +12,8 @@ from .mesh import (  # noqa: F401
 )
 
 __all__ = [
+    "is_primary_host",
+    "maybe_initialize_distributed",
     "DATA_AXIS",
     "SPACE_AXIS",
     "batch_sharding",

@@ -1,4 +1,5 @@
 from .engine import TTAEngine  # noqa: F401
+from .norm_adapt import NormAdapter  # noqa: F401 (registers "norm")
 from .tent import TentAdapter, norm_param_mask  # noqa: F401 (registers "tent")
 
-__all__ = ["TTAEngine", "TentAdapter", "norm_param_mask"]
+__all__ = ["TTAEngine", "TentAdapter", "NormAdapter", "norm_param_mask"]

@@ -208,3 +208,39 @@ class TestTTAEngineMesh:
         s2 = adapt_fn1(state, jnp.asarray(x_np), 8)
         for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)):
             assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestNormAdapter:
+    def test_batchnorm_stats_recomputed(self):
+        from multimodal_tta_tpu.registry import get_tta_method
+        from multimodal_tta_tpu.tta import NormAdapter
+
+        assert get_tta_method("norm") is NormAdapter
+        state = make_state(norm="BATCH")
+        cfg = full_cfg(ConfigNode({"method": "norm", "episodic": True}))
+        adapter = NormAdapter(cfg.tta, config=cfg, mesh=None)
+        adapt_fn = adapter.make_adapt_fn(state)
+        x = jnp.asarray(np.random.RandomState(11).randn(2, 16, 16, 16, 2) * 4 + 2, jnp.float32)
+        s1 = adapt_fn(state, x, 2)
+        # params untouched
+        for a, b in zip(jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(s1.params)):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+        # stats moved
+        moved = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(state.batch_stats),
+                jax.tree_util.tree_leaves(s1.batch_stats),
+            )
+        )
+        assert moved
+
+    def test_instance_norm_noop(self):
+        from multimodal_tta_tpu.tta import NormAdapter
+
+        state = make_state(norm="INSTANCE")
+        cfg = full_cfg(ConfigNode({"method": "norm"}))
+        adapter = NormAdapter(cfg.tta, config=cfg, mesh=None)
+        adapt_fn = adapter.make_adapt_fn(state)
+        s1 = adapt_fn(state, jnp.zeros((1, 16, 16, 16, 2)), 1)
+        assert s1 is state
