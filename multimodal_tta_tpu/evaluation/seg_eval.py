@@ -231,7 +231,7 @@ class SegmentationEvaluationStrategy:
         total_loss = 0.0
         n_samples = 0
 
-        if self._eval_step is None or self._mesh_sig is not id(mesh):
+        if self._eval_step is None or self._mesh_sig != id(mesh):
             self._eval_step = self._build_eval_step(mesh)
             self._mesh_sig = id(mesh)
 
