@@ -18,7 +18,7 @@ from __future__ import annotations
 import copy
 import datetime
 import re
-from typing import Any, Dict, Iterator, List, Optional, Tuple, Union
+from typing import Any, Dict, Iterator, Optional, Tuple, Union
 
 import yaml
 

@@ -16,7 +16,7 @@ setup_trainer / train``. Differences are TPU-native:
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,14 +16,13 @@ scheduler object on host.
 
 from __future__ import annotations
 
-import fnmatch
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import optax
 
 from ..conf.node import ConfigNode
-from ..utils.config import get_config, require_config
+from ..utils.config import get_config
 
 
 def no_decay_mask(params, no_decay_keys, treat_1d: bool = True):

@@ -7,12 +7,11 @@ donated to the step for in-place buffer reuse on TPU.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import jax
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 
 class TrainState(struct.PyTreeNode):

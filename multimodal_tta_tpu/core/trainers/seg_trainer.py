@@ -20,8 +20,7 @@ TPU-native step design:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ threaded decode this pipelines disk -> decode -> H2D -> step.
 from __future__ import annotations
 
 from collections import deque
-from typing import Any, Dict, Iterable, Iterator, Optional, Sequence
+from typing import Any, Dict, Iterable, Iterator, Sequence
 
 import numpy as np
 

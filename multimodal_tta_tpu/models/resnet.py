@@ -12,7 +12,7 @@ contract (resnet.py:130-161).
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -13,7 +13,7 @@ whole forward runs in bfloat16 on the MXU while params stay fp32.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

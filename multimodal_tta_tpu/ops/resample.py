@@ -24,8 +24,7 @@ fully vectorized (runs on TPU when available, XLA:CPU otherwise).
 from __future__ import annotations
 
 from dataclasses import dataclass, replace
-from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

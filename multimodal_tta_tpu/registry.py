@@ -19,7 +19,7 @@ we keep them for API parity and use CRITERIA for registered loss builders.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Optional, Type
+from typing import Callable, Dict, List, Optional, Type
 
 
 class Registry:

@@ -13,7 +13,7 @@ identical with and without TTA.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 from ..conf.node import ConfigNode
 from ..registry import get_evaluation_strategy, get_tta_method

@@ -13,7 +13,6 @@ stateless and pass through unchanged (with a warning).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from ..conf.node import ConfigNode
 from ..ops.intensity import make_intensity_normalizer

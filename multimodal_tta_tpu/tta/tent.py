@@ -23,7 +23,7 @@ precisely to host one). This module supplies the engine, TPU-first:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ Both accept an optional ``type_`` isinstance check.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Type, Union
+from typing import Any, Optional, Type
 
 from ..conf.node import ConfigNode
 
