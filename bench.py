@@ -35,6 +35,10 @@ _log = _setup_logger(to_console=False)
 _h = _logging.StreamHandler(sys.stderr)
 _log.addHandler(_h)
 
+from multimodal_tta_tpu.utils.jax_setup import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 CPU_CACHE = os.path.join(REPO_ROOT, ".bench_cpu_baseline.json")
 
 SHAPE = (48, 144, 144, 2)  # D,H,W,C — HECKTOR21 working shape

@@ -45,6 +45,10 @@ class ExperimentManager:
         self.config = config
         self.logger = get_logger()
 
+        from ..utils.jax_setup import enable_compilation_cache
+
+        enable_compilation_cache()
+
         seed = require_config(config, "task.seed")
         deterministic = str(get_config(config, "task.deterministic", "practical"))
         self.root_key = set_random_seed(seed, deterministic)
