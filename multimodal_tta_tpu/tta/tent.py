@@ -145,7 +145,13 @@ class TentAdapter:
         md_enabled = self.md_enabled
         md_prob = self.md_prob
 
+        episodic = self.episodic
+
         def adapt(params, batch_stats, opt_state, image, rng, n_valid):
+            if episodic:
+                # fresh optimizer state per batch, created INSIDE the jit so
+                # no eager per-batch zero-buffer allocations/dispatches
+                opt_state = tx.init(params)
             if norm_fn is not None:
                 image = jax.vmap(norm_fn)(image)
             b = image.shape[0]
@@ -216,7 +222,8 @@ class TentAdapter:
 
         def adapt_fn(state, image, n_valid):
             base = source_state if self.episodic else state
-            opt_state = self._opt_state if not self.episodic else self._tx.init(base.params)
+            # episodic: the jit re-inits internally; pass the template state
+            opt_state = self._opt_state
             self._rng, key = jax.random.split(self._rng)
             params, batch_stats, opt_state, ents = self._adapt_step(
                 base.params,
