@@ -244,3 +244,41 @@ class TestNormAdapter:
         adapt_fn = adapter.make_adapt_fn(state)
         s1 = adapt_fn(state, jnp.zeros((1, 16, 16, 16, 2)), 1)
         assert s1 is state
+
+
+class TestContinualStream:
+    def test_state_carries_across_shifting_domains(self):
+        """Continual TTA over a stream of shifting domains (BASELINE config
+        #5): the adapted state must evolve across the stream and per-domain
+        metrics must be reported for every domain seen."""
+        import optax
+        from multimodal_tta_tpu.evaluation import SegmentationEvaluationStrategy
+        from multimodal_tta_tpu.tta import TentAdapter
+
+        state = make_state()
+        cfg = full_cfg(tent_cfg(episodic=False, steps=1, lr=1e-3))
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+        adapt_fn = adapter.make_adapt_fn(state)
+
+        strat = SegmentationEvaluationStrategy(
+            ConfigNode(
+                {
+                    "evaluation": {"seg": {"region_order": ["gtvt"], "threshold": 0.5}},
+                    "training": {"criterion": {"sigmoid": True}},
+                }
+            )
+        )
+
+        rng = np.random.RandomState(0)
+        # stream: domain A (shifted +2), then domain B (scaled x3)
+        stream = []
+        for dom, tf in [("A", lambda x: x + 2), ("A", lambda x: x + 2), ("B", lambda x: x * 3), ("B", lambda x: x * 3)]:
+            x = tf(rng.randn(2, 16, 16, 16, 2)).astype(np.float32)
+            y = (rng.rand(2, 16, 16, 16, 1) > 0.7).astype(np.float32)
+            stream.append({"image": x, "label": y, "domain": [dom, dom]})
+
+        metrics = strat.evaluate_epoch(state, stream, mesh=None, adapt_fn=adapt_fn, carry_state=True)
+        assert "dom/A/avg_dc" in metrics and "dom/B/avg_dc" in metrics
+        assert np.isfinite(metrics["avg_dc"])
+        # the entropy trace should be finite and the adapter must have run
+        assert adapter.last_entropy is not None
