@@ -92,26 +92,16 @@ def build_workload():
         }
     )
     adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
-    adapt_fn = adapter.make_adapt_fn(state)
-
-    threshold = 0.3
-
-    @jax.jit
-    def segment(state_params, state_bs, x):
-        variables = {"params": state_params}
-        if state_bs:
-            variables["batch_stats"] = state_bs
-        logits = model.apply(variables, x, train=False)
-        prob = jax.nn.sigmoid(logits)
-        return (prob >= threshold).astype(jnp.uint8)
+    # adapt + segment fused into ONE jitted dispatch (threshold 0.3, the
+    # HECKTOR eval threshold)
+    adapt_predict = adapter.make_adapt_predict_fn(state, threshold=0.3)
 
     rng = np.random.RandomState(0)
     x_np = (rng.randn(BATCH, *SHAPE) * 100).astype(np.float32)
     x = jnp.asarray(x_np)
 
     def run_once():
-        adapted = adapt_fn(state, x, BATCH)
-        pred = segment(adapted.params, adapted.batch_stats, x)
+        _, pred = adapt_predict(state, x, BATCH)
         pred.block_until_ready()
         return pred
 

@@ -136,7 +136,10 @@ class TentAdapter:
             return inner
         raise ValueError(f"[tent] unknown update mode: {self.update}")
 
-    def _build_adapt_step(self, state):
+    def _build_adapt_step(self, state, predict_threshold=None):
+        """predict_threshold: when set, the jit additionally runs the
+        post-adaptation segmentation forward and returns thresholded
+        predictions — adapt+segment in ONE dispatch."""
         tx = self._build_tx(state.params)
         self._tx = tx
         norm_fn = self._norm_fn
@@ -194,6 +197,13 @@ class TentAdapter:
             (params, batch_stats, opt_state), ents = jax.lax.scan(
                 one_step, (params, batch_stats, opt_state), keys
             )
+            if predict_threshold is not None:
+                variables = {"params": params}
+                if batch_stats:
+                    variables["batch_stats"] = batch_stats
+                logits = state.apply_fn(variables, image, train=False)
+                pred = (jax.nn.sigmoid(logits) >= predict_threshold).astype(jnp.uint8)
+                return params, batch_stats, opt_state, ents, pred
             return params, batch_stats, opt_state, ents
 
         if self.mesh is not None:
@@ -239,3 +249,25 @@ class TentAdapter:
             return base.replace(params=params, batch_stats=batch_stats)
 
         return adapt_fn
+
+    def make_adapt_predict_fn(self, source_state, threshold: float) -> Callable:
+        """adapt_predict_fn(state, image, n_valid) -> (state, pred uint8) with
+        adaptation AND segmentation fused into one jitted dispatch (the
+        deployment-serving shape of the north-star workload)."""
+        step = self._build_adapt_step(source_state, predict_threshold=float(threshold))
+        opt_state0 = self._tx.init(source_state.params)
+        self._opt_state = opt_state0
+        self.last_entropy = None
+
+        def adapt_predict_fn(state, image, n_valid):
+            base = source_state if self.episodic else state
+            self._rng, key = jax.random.split(self._rng)
+            params, batch_stats, opt_state, ents, pred = step(
+                base.params, base.batch_stats, self._opt_state, image, key, jnp.int32(n_valid)
+            )
+            if not self.episodic:
+                self._opt_state = opt_state
+            self.last_entropy = float(ents[-1])
+            return base.replace(params=params, batch_stats=batch_stats), pred
+
+        return adapt_predict_fn
