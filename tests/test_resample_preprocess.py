@@ -268,3 +268,69 @@ class TestPreprocessEndToEnd:
         mf = pd.read_csv(os.path.join(out, "manifest.csv"))
         assert len(mf) == 2
         assert "ct_proc" in mf.columns
+
+
+class TestPrepareBrats:
+    def test_full_pipeline(self, tmp_path):
+        import yaml
+
+        raw = tmp_path / "raw"
+        rng = np.random.RandomState(0)
+        affine = np.diag([1.2, 1.2, 1.2, 1.0])
+        for case in ["BraTS-GLI-0001", "BraTS-GLI-0002"]:
+            d = raw / case
+            d.mkdir(parents=True)
+            for m in ["t1n", "t1c", "t2w", "t2f"]:
+                nifti.save(rng.rand(20, 24, 20).astype(np.float32), affine, str(d / f"{case}-{m}.nii.gz"))
+            seg = rng.randint(0, 4, size=(20, 24, 20)).astype(np.uint8)
+            nifti.save(seg, affine, str(d / f"{case}-seg.nii.gz"))
+
+        cfg = {
+            "raw_root": str(raw),
+            "out_root": str(tmp_path / "proc"),
+            "target_spacing": [1.0, 1.0, 1.0],
+            "output_size": [24, 28, 24],
+            "split_seed": 1,
+            "split_ratios": [1.0, 0.0, 0.0],
+        }
+        cfg_path = str(tmp_path / "cfg.yaml")
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(cfg, f)
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache"
+        env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
+        env["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "-1"
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO_ROOT, "scripts", "prepare_brats.py"), "--config", cfg_path],
+            capture_output=True, text=True, env=env, timeout=900,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+
+        mf = pd.read_csv(os.path.join(cfg["out_root"], "processed.csv"))
+        assert len(mf) == 8  # 2 cases x 4 modalities
+        assert (mf["status"] == "ok").all()
+        assert set(mf["modality"]) == {"t1n", "t1c", "t2w", "t2f"}
+
+        img = nifti.load(mf.iloc[0]["img_path"])
+        assert img.shape == (24, 28, 24)
+        seg = nifti.load(mf.iloc[0]["label_path"])
+        assert np.asarray(seg.dataobj).max() <= 3
+
+        # the produced manifest must load through the BraTS dataset
+        from multimodal_tta_tpu.data.brats import BratsMultiSourceNiftiDataset, SourceSpec, DEFAULT_REGION_MAPS
+
+        ds = BratsMultiSourceNiftiDataset(
+            sources=[SourceSpec(
+                name="test", csv_path=os.path.join(cfg["out_root"], "processed.csv"),
+                profile="gli", root_dir=None,
+                include_splits={"train": ["train"], "val": [], "test": []},
+                region_map=DEFAULT_REGION_MAPS["gli"],
+            )],
+            split="train",
+            expected_shape=(24, 28, 24),
+        )
+        s = ds[0]
+        assert s["image"].shape == (24, 28, 24, 4)
+        assert s["label"].shape == (24, 28, 24, 3)
