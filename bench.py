@@ -45,6 +45,15 @@ SHAPE = (48, 144, 144, 2)  # D,H,W,C — HECKTOR21 working shape
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 
 
+def _parse_remat(v: str):
+    v = v.strip().lower()
+    if v in ("true", "1", "yes"):
+        return True
+    if v in ("false", "0", "no"):
+        return False
+    return int(v)
+
+
 def build_workload():
     import jax
     import jax.numpy as jnp
@@ -65,7 +74,7 @@ def build_workload():
         norm="INSTANCE",
         act="RELU",
         dtype=jnp.bfloat16,
-        remat=True,
+        remat=_parse_remat(os.environ.get("BENCH_REMAT", "true")),
     )
     x0 = jnp.zeros((BATCH,) + SHAPE, jnp.float32)
     variables = jax.jit(lambda k, x: model.init(k, x, train=False))(jax.random.PRNGKey(0), x0)

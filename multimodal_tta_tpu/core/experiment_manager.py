@@ -104,7 +104,9 @@ class ExperimentManager:
         dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}[
             compute_dtype
         ]
-        remat = bool(get_config(self.config, "training.remat", False))
+        remat = get_config(self.config, "training.remat", False)
+        if not isinstance(remat, (bool, int)):
+            remat = bool(remat)
 
         self.module = model_cls.from_config(model_cfg, dtype=dtype, remat=remat)
 

@@ -36,7 +36,7 @@ class UNet3D(nn.Module):
     dropout: float = 0.0
     spatial_dims: int = 3
     dtype: Any = jnp.float32
-    remat: bool = False
+    remat: Any = False  # False | True (all levels) | int (n highest-res levels)
 
     @classmethod
     def from_config(cls, cfg, **overrides) -> "UNet3D":
@@ -111,8 +111,17 @@ class UNet3D(nn.Module):
                 )
         x = x.astype(self.dtype)
 
-        def run(blk, h):
-            if self.remat:
+        # remat: True = all levels; an int n remats only the n HIGHEST-
+        # resolution levels (where the activation memory lives — in a 3D UNet
+        # spatial size shrinks 8x per level while channels only double, so
+        # deep levels are cheap to store and expensive to needlessly
+        # recompute).
+        remat_levels = (
+            n_levels + 1 if self.remat is True else int(self.remat or 0)
+        )
+
+        def run(blk, h, level):
+            if level < remat_levels:
                 # flax lifted remat: fn's first arg is the Module; `train` is
                 # captured in the closure so it stays trace-static.
                 return nn.remat(lambda mdl, a: mdl(a, train=train))(blk, h)
@@ -122,18 +131,18 @@ class UNet3D(nn.Module):
         skips = []  # outputs at R/2, R/4, ..., R/2^n
         h = x
         for i in range(n_levels):
-            h = run(self._block(chs[i], sts[i], f"enc{i}"), h)
+            h = run(self._block(chs[i], sts[i], f"enc{i}"), h, i)
             skips.append(h)
 
         # ---- bottleneck (stride 1, deepest channels) ----
-        h = run(self._block(chs[-1], 1, "bottleneck"), h)
+        h = run(self._block(chs[-1], 1, "bottleneck"), h, n_levels)
 
         # ---- decoder ----
         for i in reversed(range(n_levels)):
             h = TransposedConvUp(features=chs[i], strides=sts[i], dtype=self.dtype, name=f"up{i}")(h)
             skip = skips[i - 1] if i > 0 else x
             h = jnp.concatenate([h, skip], axis=-1)
-            h = run(self._block(chs[i], 1, f"dec{i}"), h)
+            h = run(self._block(chs[i], 1, f"dec{i}"), h, i)
 
         logits = nn.Conv(
             features=self.num_classes,
