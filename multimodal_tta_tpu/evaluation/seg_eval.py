@@ -107,6 +107,23 @@ class SegmentationEvaluationStrategy:
         self.enable_surface = bool(get_config(surf_cfg, "enable", False))
         self.asd_symmetric = bool(get_config(surf_cfg, "asd_symmetric", False))
 
+        # When transforms defer normalization to the device
+        # (training.data.transforms.on_device), the eval forward must apply it
+        # too — the datasets then emit RAW intensities.
+        tcfg = get_config(self.config, "training.data.transforms", ConfigNode())
+        self._norm_fn = None
+        if bool(get_config(tcfg, "on_device", False)) and bool(get_config(tcfg, "normalize", False)):
+            from ..ops.intensity import make_intensity_normalizer
+
+            channel_names = get_config(self.config, "dataset.modality_order", None)
+            self._norm_fn = make_intensity_normalizer(
+                normalize=True,
+                intensity_policy=get_config(tcfg, "intensity_policy", None),
+                channel_names=[str(c) for c in channel_names] if channel_names else None,
+                mean=get_config(tcfg, "mean", None),
+                std=get_config(tcfg, "std", None),
+            )
+
         # Optional sliding-window inference (for volumes larger than HBM
         # allows whole; BASELINE.json north star). Whole-volume forward when
         # disabled — the reference's only mode (seg_eval.py:300).
@@ -150,8 +167,11 @@ class SegmentationEvaluationStrategy:
         sw_enable = self.sw_enable
         sw_roi, sw_overlap, sw_mode = self.sw_roi, self.sw_overlap, self.sw_mode
         n_regions = len(self.region_order)
+        norm_fn = self._norm_fn
 
         def step(state, image, label):
+            if norm_fn is not None:
+                image = jax.vmap(norm_fn)(image)
             variables = {"params": state.params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats

@@ -197,3 +197,43 @@ class TestEndToEnd:
         cfg = small_cfg(hecktor_manifest, tmp_path)
         mgr = ExperimentManager(cfg)
         assert mgr.mesh.devices.size == 8  # conftest forces 8 CPU devices
+
+
+class TestOnDeviceTransforms:
+    def test_on_device_normalization_consistent_train_eval(self, hecktor_manifest, tmp_path):
+        """With transforms.on_device=true the datasets emit RAW intensities;
+        both the train step AND the eval forward must normalize on device.
+        Eval metrics computed either way must match (same weights)."""
+        import jax
+
+        cfg_host = small_cfg(hecktor_manifest, tmp_path, extra=["training.eval_test.do_test=false"])
+        cfg_dev = small_cfg(
+            hecktor_manifest,
+            tmp_path,
+            extra=[
+                "training.eval_test.do_test=false",
+                "training.data.transforms.on_device=true",
+            ],
+        )
+
+        mgr_h = ExperimentManager(cfg_host)
+        mgr_h.setup_model()
+        mgr_h.setup_data("train")
+        mgr_h.setup_optimizer()
+
+        mgr_d = ExperimentManager(cfg_dev)
+        mgr_d.setup_model()
+        mgr_d.setup_data("train")
+        mgr_d.setup_optimizer()
+
+        # identical weights (same seed), different normalization placement
+        from multimodal_tta_tpu.registry import get_evaluation_strategy
+
+        strat_h = get_evaluation_strategy("seg_eval")(cfg_host)
+        strat_d = get_evaluation_strategy("seg_eval")(cfg_dev)
+        with mgr_h.mesh:
+            m_h = strat_h.evaluate_epoch(mgr_h.state, mgr_h.test_loader, mgr_h.mesh)
+        with mgr_d.mesh:
+            m_d = strat_d.evaluate_epoch(mgr_d.state, mgr_d.test_loader, mgr_d.mesh)
+        assert m_h["gtvt_dc"] == pytest.approx(m_d["gtvt_dc"], abs=2e-3)
+        assert m_h["avg_dc"] == pytest.approx(m_d["avg_dc"], abs=2e-3)
