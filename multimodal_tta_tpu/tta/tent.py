@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import optax
 
 from ..conf.node import ConfigNode
-from ..ops.augment import modality_dropout
+from ..ops.augment import modality_dropout, rand_intensity_scale_shift
 from ..ops.intensity import make_intensity_normalizer
 from ..ops.losses import entropy_loss
 from ..parallel.mesh import batch_sharding, replicated
@@ -90,6 +90,16 @@ class TentAdapter:
         self.md_enabled = bool(get_config(md, "enabled", False))
         self.md_prob = float(get_config(md, "prob", 0.25))
 
+        # loss: "entropy" (Tent) or "entropy+consistency" (adds an invariance
+        # term between predictions on the batch and an intensity-jittered view)
+        self.loss_mode = str(get_config(self.cfg, "loss", "entropy")).lower()
+        if self.loss_mode not in ("entropy", "entropy+consistency"):
+            raise ValueError(f"[tent] unknown loss mode: {self.loss_mode}")
+        cons = get_config(self.cfg, "consistency", ConfigNode())
+        self.cons_weight = float(get_config(cons, "weight", 1.0))
+        self.cons_scale = float(get_config(cons, "scale", 0.1))
+        self.cons_shift = float(get_config(cons, "shift", 0.1))
+
         self.device_transform = device_transform or {}
         self._norm_fn = None
         if self.device_transform.get("normalize"):
@@ -147,6 +157,10 @@ class TentAdapter:
         sigmoid_mode = self.sigmoid_mode
         md_enabled = self.md_enabled
         md_prob = self.md_prob
+        use_consistency = self.loss_mode == "entropy+consistency"
+        cons_weight = self.cons_weight
+        cons_scale = self.cons_scale
+        cons_shift = self.cons_shift
 
         episodic = self.episodic
 
@@ -161,7 +175,7 @@ class TentAdapter:
             mask = (jnp.arange(b) < n_valid).astype(jnp.float32)
             denom = jnp.maximum(jnp.sum(mask), 1.0)
 
-            def entropy_of(params, bs, x):
+            def forward(params, bs, x):
                 variables = {"params": params}
                 recompute_stats = bool(bs)
                 if recompute_stats:
@@ -171,23 +185,41 @@ class TentAdapter:
                     logits, updates = state.apply_fn(
                         variables, x, train=True, mutable=["batch_stats"]
                     )
-                    new_bs = updates["batch_stats"]
-                else:
-                    logits = state.apply_fn(variables, x, train=False)
-                    new_bs = bs
+                    return logits, updates["batch_stats"]
+                return state.apply_fn(variables, x, train=False), bs
+
+            def loss_of(params, bs, x, key):
+                logits, new_bs = forward(params, bs, x)
                 per_sample = jax.vmap(lambda lg: entropy_loss(lg[None], sigmoid=sigmoid_mode))(
                     logits
                 )
-                ent = jnp.sum(per_sample * mask) / denom
-                return ent, new_bs
+                loss = jnp.sum(per_sample * mask) / denom
+                if use_consistency:
+                    # invariance to an intensity-jittered view of the batch
+                    x2 = rand_intensity_scale_shift(
+                        key, x, scale=cons_scale, shift=cons_shift, prob=1.0
+                    )
+                    logits2, _ = forward(params, bs, x2)
+                    if sigmoid_mode:
+                        p1 = jax.nn.sigmoid(logits)
+                        p2 = jax.nn.sigmoid(logits2)
+                    else:
+                        p1 = jax.nn.softmax(logits, axis=-1)
+                        p2 = jax.nn.softmax(logits2, axis=-1)
+                    per_cons = jnp.mean(
+                        (p1 - p2) ** 2, axis=tuple(range(1, p1.ndim))
+                    )
+                    loss = loss + cons_weight * jnp.sum(per_cons * mask) / denom
+                return loss, new_bs
 
             def one_step(carry, key):
                 params, bs, opt_state = carry
+                k_md, k_cons = jax.random.split(key)
                 x = image
                 if md_enabled:
-                    x = modality_dropout(key, x, prob=md_prob)
-                (ent, new_bs), grads = jax.value_and_grad(entropy_of, has_aux=True)(
-                    params, bs, x
+                    x = modality_dropout(k_md, x, prob=md_prob)
+                (ent, new_bs), grads = jax.value_and_grad(loss_of, has_aux=True)(
+                    params, bs, x, k_cons
                 )
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)

@@ -282,3 +282,25 @@ class TestContinualStream:
         assert np.isfinite(metrics["avg_dc"])
         # the entropy trace should be finite and the adapter must have run
         assert adapter.last_entropy is not None
+
+
+class TestConsistencyLoss:
+    def test_entropy_plus_consistency_runs_and_reduces_loss(self):
+        state = make_state()
+        cfg = full_cfg(tent_cfg(loss="entropy+consistency", steps=2, lr=1e-2))
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+        adapt_fn = adapter.make_adapt_fn(state)
+        x = jnp.asarray(np.random.RandomState(20).randn(2, 16, 16, 16, 2), jnp.float32)
+        s1 = adapt_fn(state, x, 2)
+        assert adapter.last_entropy is not None and np.isfinite(adapter.last_entropy)
+        # params changed (norm only)
+        moved = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(s1.params))
+        )
+        assert moved
+
+    def test_unknown_loss_mode_raises(self):
+        cfg = full_cfg(tent_cfg(loss="banana"))
+        with pytest.raises(ValueError, match="unknown loss mode"):
+            TentAdapter(cfg.tta, config=cfg, mesh=None)
