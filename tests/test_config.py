@@ -121,3 +121,38 @@ class TestCompose:
         cfg = compose(CONFIG_DIR, "config", ["task.run_name=myrun"])
         rd = cfg.hydra.run.dir
         assert "outputs/hecktor21" in rd and "myrun" in rd
+
+
+class TestComposerEdgeCases:
+    def test_list_index_override(self):
+        cfg = compose(
+            CONFIG_DIR, "config",
+            ["dataset=brats", "task=brats", "dataset.sources.0.csv_path=/x/y.csv", "hydra.job.chdir=false"],
+        )
+        assert cfg.dataset.sources[0]["csv_path"] == "/x/y.csv"
+        # other entries untouched
+        assert cfg.dataset.sources[1]["name"] == "brats24_ssa"
+
+    def test_delete_override(self):
+        cfg = compose(CONFIG_DIR, "config", ["~method", "hydra.job.chdir=false"])
+        assert "method" not in cfg
+
+    def test_sci_float_without_dot(self):
+        cfg = compose(CONFIG_DIR, "config", ["training.optimizers.adam.lr=5e-3", "hydra.job.chdir=false"])
+        assert isinstance(cfg.training.optimizers.adam.lr, float)
+
+    def test_bool_and_list_values(self):
+        cfg = compose(
+            CONFIG_DIR, "config",
+            ["training.eval_on_train=true", "training.gpu_ids=[0,1,2]", "hydra.job.chdir=false"],
+        )
+        assert cfg.training.eval_on_train is True
+        assert cfg.training.gpu_ids == [0, 1, 2]
+
+    def test_missing_group_file_raises(self):
+        with pytest.raises(FileNotFoundError):
+            compose(CONFIG_DIR, "config", ["task=does_not_exist"])
+
+    def test_tta_consistency_block(self):
+        cfg = compose(CONFIG_DIR, "config", ["tta=tent", "hydra.job.chdir=false"])
+        assert cfg.tta.consistency.weight == 1.0
