@@ -179,6 +179,14 @@ class MultimodalUNetMidFusion(nn.Module):
                 return nn.remat(lambda mdl, a: mdl(a, train=train))(enc, xin)
             return enc(xin, train=train)
 
+        def run_stage(stage, *args):
+            # remat must cover the fusion + decoder too: with 4 full-res
+            # encoders AND a full-res decoder, [160,192,160] doesn't fit one
+            # chip's HBM otherwise (SURVEY.md §7.3 hard-part 4)
+            if self.remat:
+                return nn.remat(lambda mdl, *a: mdl(*a, train=train))(stage, *args)
+            return stage(*args, train=train)
+
         specific_feats, specific_globals, all_skips = [], [], []
         for m in range(M):
             enc = SpecificEncoder(
@@ -201,7 +209,7 @@ class MultimodalUNetMidFusion(nn.Module):
         fusion = CompositionalLayer(
             features=chs[-1], norm=self.norm, act=self.act, dtype=self.dtype, name="fusion_layer"
         )
-        fused = [fusion(pseudo_shared, f, train=train) for f in specific_feats]
+        fused = [run_stage(fusion, pseudo_shared, f) for f in specific_feats]
         h = nn.Conv(
             features=chs[-1],
             kernel_size=(1, 1, 1),
@@ -222,7 +230,7 @@ class MultimodalUNetMidFusion(nn.Module):
         dec_feats = [chs[3], chs[2], chs[1], chs[0]]
         dec_strides = [self.strides[3], self.strides[2], self.strides[1], self.strides[0]]
         for i in range(len(dec_feats)):
-            h = DecoderStage(
+            stage = DecoderStage(
                 features=dec_feats[i],
                 stride=dec_strides[i],
                 num_res_units=self.num_res_units,
@@ -231,7 +239,8 @@ class MultimodalUNetMidFusion(nn.Module):
                 dropout=self.dropout,
                 dtype=self.dtype,
                 name=f"decoder{i}",
-            )(h, skips_for_dec[i], train=train)
+            )
+            h = run_stage(stage, h, skips_for_dec[i])
 
         logits = nn.Conv(
             features=self.num_classes,
