@@ -17,6 +17,8 @@ from .resnet import ResNet, get_resnet_model  # noqa: F401 (registers resnet18..
 from .densenet import DenseNet  # noqa: F401 (registers densenet121..161)
 from .vit import ViT, get_vit_model  # noqa: F401 (registers vit_b_16..h_14)
 from .efficientnet import EfficientNet  # noqa: F401 (registers efficientnet_b0..v2_l)
+from .mogvae import VAEDeltaMoG  # noqa: F401 (registers vae_delta_mog)
+from .unet_multimodal_latefusion import MultimodalUNetLateFusion  # noqa: F401 (registers unet_multimodal_late/_mid)
 
 __all__ = [
     "ConvBlock",

@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from multimodal_tta_tpu.conf import ConfigNode
+import multimodal_tta_tpu.models  # noqa: F401 (registration side effects)
 from multimodal_tta_tpu.registry import get_model, list_models
 
 
@@ -101,3 +102,46 @@ class TestEfficientNet:
         v = m.init(rng_key, x, train=True)
         feats, logits = m.apply(v, x, train=False)
         assert logits.shape == (1, 2)
+
+
+class TestMogVAE:
+    def test_forward_shapes_and_aux(self, rng_key):
+        from multimodal_tta_tpu.conf import ConfigNode
+
+        m = get_model("vae_delta_mog").from_config(
+            ConfigNode({
+                "in_channels": 3, "out_channels": 1, "latent_size": 16,
+                "channels": [4, 8, 16, 32], "strides": [2, 2],
+                "image_size": [32, 32], "mog": {"K": 4, "use_gate": True},
+            })
+        )
+        x = jnp.zeros((2, 32, 32, 3))
+        import jax as _jax
+
+        v = m.init({"params": rng_key, "reparam": _jax.random.PRNGKey(1)}, x)
+        delta, aux = m.apply(v, x, rngs={"reparam": _jax.random.PRNGKey(2)})
+        assert delta.shape == (2, 32, 32, 1)
+        assert aux["pi"].shape == (2, 4)
+        assert np.allclose(np.asarray(aux["pi"]).sum(axis=1), 1.0, atol=1e-5)
+        assert aux["z"].shape == (2, 16)
+
+
+class TestLateFusion:
+    def test_registered_names(self):
+        from multimodal_tta_tpu.models import MultimodalUNetLateFusion, MultimodalUNetMidFusion
+
+        assert get_model("unet_multimodal_late") is MultimodalUNetLateFusion
+        assert get_model("unet_multimodal_mid") is MultimodalUNetMidFusion
+
+    def test_forward_and_equals_tower_mean(self, rng_key):
+        import jax as _jax
+        from multimodal_tta_tpu.conf import ConfigNode
+
+        m = get_model("unet_multimodal_late").from_config(
+            ConfigNode({"num_modalities": 2, "num_classes": 1, "channels": [2, 4, 8, 16, 32], "num_res_units": 1})
+        )
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 16, 16, 2), jnp.float32)
+        v = m.init(rng_key, x)
+        y = m.apply(v, x)
+        assert y.shape == (1, 16, 16, 16, 1)
+        assert np.isfinite(np.asarray(y)).all()
