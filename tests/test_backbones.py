@@ -15,6 +15,10 @@ EXPECTED_NAMES = [
     "unet",
     "unet_multimodal_midfusion",
     "unet_multimodal_deepfusion",
+    "unet_multimodal_mid",
+    "unet_multimodal_late",
+    "unet_multimodal_latefusion",
+    "vae_delta_mog",
     "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
     "densenet121", "densenet169", "densenet201", "densenet161",
     "vit_b_16", "vit_b_32", "vit_l_16", "vit_l_32", "vit_h_14",
