@@ -116,14 +116,8 @@ class TentAdapter:
         self._rng = jax.random.PRNGKey(int(get_config(self.config, "task.seed", 0)) + 777)
 
     # ------------------------------------------------------------------
-    def _build_tx(self, params) -> optax.GradientTransformation:
-        if self.opt_name == "sgd":
-            inner = optax.sgd(self.lr, momentum=self.momentum or None)
-        elif self.opt_name == "adam":
-            inner = optax.adam(self.lr)
-        else:
-            raise ValueError(f"[tent] unsupported optimizer: {self.opt_name}")
-
+    def _param_mask(self, params):
+        """True = adapted. update=norm -> norm affine params; update=all -> all."""
         if self.update == "norm":
             mask = norm_param_mask(params)
             n = count_true(mask)
@@ -131,26 +125,53 @@ class TentAdapter:
                 raise ValueError(
                     "[tent] update=norm but no normalization parameters found in the model"
                 )
-            self.logger.info(f"[tent] adapting {n} norm-param tensors (of "
-                             f"{len(jax.tree_util.tree_leaves(params))})")
-            # optax.masked applies `inner` to the masked subset and passes the
-            # complement's raw gradients through UNCHANGED — so the complement
-            # must be explicitly zeroed or every frozen param would take a
-            # full-gradient ascent step.
-            inv_mask = jax.tree_util.tree_map(lambda m: not m, mask)
-            return optax.chain(
-                optax.masked(optax.set_to_zero(), inv_mask),
-                optax.masked(inner, mask),
+            self.logger.info(
+                f"[tent] adapting {n} norm-param tensors (of "
+                f"{len(jax.tree_util.tree_leaves(params))})"
             )
+            return mask
         if self.update == "all":
-            return inner
+            return jax.tree_util.tree_map(lambda _: True, params)
         raise ValueError(f"[tent] unknown update mode: {self.update}")
+
+    def _build_tx(self) -> optax.GradientTransformation:
+        """Optimizer over the TRAINABLE SUBTREE only (frozen params never
+        enter autodiff, so XLA drops their weight-gradient computations —
+        for update=norm that cuts the backward pass to activation-gradient
+        chains plus a handful of tiny norm-affine reductions)."""
+        if self.opt_name == "sgd":
+            return optax.sgd(self.lr, momentum=self.momentum or None)
+        if self.opt_name == "adam":
+            return optax.adam(self.lr)
+        raise ValueError(f"[tent] unsupported optimizer: {self.opt_name}")
+
+    @staticmethod
+    def _partition(params, mask):
+        """Split into (trainable, frozen) trees with None at the complement
+        (None leaves are empty pytrees — autodiff skips them)."""
+        trainable = jax.tree_util.tree_map(lambda p, m: p if m else None, params, mask)
+        frozen = jax.tree_util.tree_map(lambda p, m: None if m else p, params, mask)
+        return trainable, frozen
+
+    @staticmethod
+    def _combine(trainable, frozen):
+        return jax.tree_util.tree_map(
+            lambda t, f: f if t is None else t,
+            trainable,
+            frozen,
+            is_leaf=lambda x: x is None,
+        )
+
+    def trainable_subtree(self, params):
+        mask = self._param_mask(params)
+        return self._partition(params, mask)[0]
 
     def _build_adapt_step(self, state, predict_threshold=None):
         """predict_threshold: when set, the jit additionally runs the
         post-adaptation segmentation forward and returns thresholded
         predictions — adapt+segment in ONE dispatch."""
-        tx = self._build_tx(state.params)
+        param_mask = self._param_mask(state.params)
+        tx = self._build_tx()
         self._tx = tx
         norm_fn = self._norm_fn
         steps = self.steps
@@ -164,19 +185,23 @@ class TentAdapter:
 
         episodic = self.episodic
 
+        partition = self._partition
+        combine = self._combine
+
         def adapt(params, batch_stats, opt_state, image, rng, n_valid):
+            trainable0, frozen = partition(params, param_mask)
             if episodic:
                 # fresh optimizer state per batch, created INSIDE the jit so
                 # no eager per-batch zero-buffer allocations/dispatches
-                opt_state = tx.init(params)
+                opt_state = tx.init(trainable0)
             if norm_fn is not None:
                 image = jax.vmap(norm_fn)(image)
             b = image.shape[0]
             mask = (jnp.arange(b) < n_valid).astype(jnp.float32)
             denom = jnp.maximum(jnp.sum(mask), 1.0)
 
-            def forward(params, bs, x):
-                variables = {"params": params}
+            def forward(trainable, bs, x):
+                variables = {"params": combine(trainable, frozen)}
                 recompute_stats = bool(bs)
                 if recompute_stats:
                     variables["batch_stats"] = bs
@@ -188,8 +213,8 @@ class TentAdapter:
                     return logits, updates["batch_stats"]
                 return state.apply_fn(variables, x, train=False), bs
 
-            def loss_of(params, bs, x, key):
-                logits, new_bs = forward(params, bs, x)
+            def loss_of(trainable, bs, x, key):
+                logits, new_bs = forward(trainable, bs, x)
                 per_sample = jax.vmap(lambda lg: entropy_loss(lg[None], sigmoid=sigmoid_mode))(
                     logits
                 )
@@ -199,7 +224,7 @@ class TentAdapter:
                     x2 = rand_intensity_scale_shift(
                         key, x, scale=cons_scale, shift=cons_shift, prob=1.0
                     )
-                    logits2, _ = forward(params, bs, x2)
+                    logits2, _ = forward(trainable, bs, x2)
                     if sigmoid_mode:
                         p1 = jax.nn.sigmoid(logits)
                         p2 = jax.nn.sigmoid(logits2)
@@ -213,22 +238,23 @@ class TentAdapter:
                 return loss, new_bs
 
             def one_step(carry, key):
-                params, bs, opt_state = carry
+                trainable, bs, opt_state = carry
                 k_md, k_cons = jax.random.split(key)
                 x = image
                 if md_enabled:
                     x = modality_dropout(k_md, x, prob=md_prob)
                 (ent, new_bs), grads = jax.value_and_grad(loss_of, has_aux=True)(
-                    params, bs, x, k_cons
+                    trainable, bs, x, k_cons
                 )
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, new_bs, opt_state), ent
+                updates, opt_state = tx.update(grads, opt_state, trainable)
+                trainable = optax.apply_updates(trainable, updates)
+                return (trainable, new_bs, opt_state), ent
 
             keys = jax.random.split(rng, steps)
-            (params, batch_stats, opt_state), ents = jax.lax.scan(
-                one_step, (params, batch_stats, opt_state), keys
+            (trainable, batch_stats, opt_state), ents = jax.lax.scan(
+                one_step, (trainable0, batch_stats, opt_state), keys
             )
+            params = combine(trainable, frozen)
             if predict_threshold is not None:
                 variables = {"params": params}
                 if batch_stats:
@@ -258,7 +284,7 @@ class TentAdapter:
         """
         if self._adapt_step is None:
             self._adapt_step = self._build_adapt_step(source_state)
-        opt_state0 = self._tx.init(source_state.params)
+        opt_state0 = self._tx.init(self.trainable_subtree(source_state.params))
         self._opt_state = opt_state0
         self.last_entropy: Optional[float] = None
 
@@ -287,7 +313,7 @@ class TentAdapter:
         adaptation AND segmentation fused into one jitted dispatch (the
         deployment-serving shape of the north-star workload)."""
         step = self._build_adapt_step(source_state, predict_threshold=float(threshold))
-        opt_state0 = self._tx.init(source_state.params)
+        opt_state0 = self._tx.init(self.trainable_subtree(source_state.params))
         self._opt_state = opt_state0
         self.last_entropy = None
 
