@@ -74,7 +74,7 @@ def build_workload():
         norm="INSTANCE",
         act="RELU",
         dtype=jnp.bfloat16,
-        remat=_parse_remat(os.environ.get("BENCH_REMAT", "true")),
+        remat=_parse_remat(os.environ.get("BENCH_REMAT", "false")),
     )
     x0 = jnp.zeros((BATCH,) + SHAPE, jnp.float32)
     variables = jax.jit(lambda k, x: model.init(k, x, train=False))(jax.random.PRNGKey(0), x0)
