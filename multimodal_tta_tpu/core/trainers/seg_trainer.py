@@ -67,6 +67,11 @@ class SegTrainer(TrainerBase):
                 std=self.device_transform.get("std"),
             )
 
+        # compact H2D dtype for images (upcast to f32 on device); halves or
+        # quarters the transfer bytes on tunnel/PCIe-bound hosts
+        td = str(get_config(config, "training.transfer_dtype", "float32")).lower()
+        self._transfer_dtype = {"float32": None, "float16": np.float16, "bfloat16": jnp.bfloat16}[td]
+
         self._rng = jax.random.PRNGKey(int(get_config(config, "task.seed", 0)))
         self._train_step = None  # built lazily (needs mesh + state structure)
 
@@ -81,6 +86,7 @@ class SegTrainer(TrainerBase):
         sigmoid = self.sigmoid
 
         def step(state, image, label, rng, n_valid):
+            image = image.astype(jnp.float32)  # upcast compact transfer dtypes
             if norm_fn is not None:
                 image = jax.vmap(norm_fn)(image)
             if do_int_aug:
@@ -155,7 +161,12 @@ class SegTrainer(TrainerBase):
     def _wrap_loader(self, loader):
         from ...data.prefetch import prefetch_to_device
 
-        return prefetch_to_device(loader, self.mesh)
+        return prefetch_to_device(
+            loader,
+            self.mesh,
+            image_transfer_dtype=self._transfer_dtype,
+            label_transfer_dtype=np.uint8 if self.sigmoid else None,
+        )
 
     def run_step(self, batch: Dict[str, Any]) -> Dict[str, float]:
         image, label = batch["image"], batch["label"]

@@ -152,6 +152,9 @@ class SegmentationEvaluationStrategy:
             eval_crit["ce_weight"] = [float(x) for x in list(w)]
         self.loss_fn = make_dice_ce_loss(eval_crit)
 
+        td = str(get_config(self.config, "training.transfer_dtype", "float32")).lower()
+        self._transfer_dtype = {"float32": None, "float16": np.float16, "bfloat16": jnp.bfloat16}[td]
+
         self._eval_step = None
         self._mesh_sig = None
 
@@ -170,6 +173,8 @@ class SegmentationEvaluationStrategy:
         norm_fn = self._norm_fn
 
         def step(state, image, label):
+            image = image.astype(jnp.float32)  # upcast compact transfer dtypes
+            label = label.astype(jnp.float32)
             if norm_fn is not None:
                 image = jax.vmap(norm_fn)(image)
             variables = {"params": state.params}
@@ -258,7 +263,12 @@ class SegmentationEvaluationStrategy:
         from ..data.prefetch import prefetch_to_device
 
         # pad + shard + H2D one batch ahead of the eval step
-        stream = prefetch_to_device(data_loader, mesh)
+        stream = prefetch_to_device(
+            data_loader,
+            mesh,
+            image_transfer_dtype=self._transfer_dtype,
+            label_transfer_dtype=np.uint8,
+        )
 
         for batch in tqdm(stream, desc="Evaluate SEG (regions)", leave=False):
             image = batch["image"]

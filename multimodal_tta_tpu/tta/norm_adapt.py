@@ -13,6 +13,7 @@ stateless and pass through unchanged (with a warning).
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from ..conf.node import ConfigNode
 from ..ops.intensity import make_intensity_normalizer
@@ -48,6 +49,7 @@ class NormAdapter:
         norm_fn = self._norm_fn
 
         def step(params, batch_stats, image):
+            image = image.astype(jnp.float32)  # upcast compact transfer dtypes
             if norm_fn is not None:
                 image = jax.vmap(norm_fn)(image)
             variables = {"params": params, "batch_stats": batch_stats}

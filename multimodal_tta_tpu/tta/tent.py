@@ -194,6 +194,7 @@ class TentAdapter:
                 # fresh optimizer state per batch, created INSIDE the jit so
                 # no eager per-batch zero-buffer allocations/dispatches
                 opt_state = tx.init(trainable0)
+            image = image.astype(jnp.float32)  # upcast compact transfer dtypes
             if norm_fn is not None:
                 image = jax.vmap(norm_fn)(image)
             b = image.shape[0]
