@@ -155,8 +155,27 @@ class SegmentationEvaluationStrategy:
         td = str(get_config(self.config, "training.transfer_dtype", "float32")).lower()
         self._transfer_dtype = {"float32": None, "float16": np.float16, "bfloat16": jnp.bfloat16}[td]
 
+        # Optional best-model criterion (the trainer delegates to the
+        # strategy's is_best_model when defined — reference:
+        # seg_trainer.py:85-88). Unset -> trainer falls back to min val loss.
+        self.best_metric = get_config(self.config, "evaluation.best_metric", None)
+        self.best_mode = str(get_config(self.config, "evaluation.best_mode", "max")).lower()
+
         self._eval_step = None
         self._mesh_sig = None
+
+    def is_best_model(self, eval_stats: Dict[str, float], best_metrics: Dict[str, float]) -> bool:
+        if self.best_metric is None:
+            # preserve the reference default: min validation loss
+            current = eval_stats.get("loss", 0.0)
+            return current < best_metrics.get("loss", float("inf"))
+        name = str(self.best_metric)
+        current = eval_stats.get(name)
+        if current is None:
+            return False
+        if self.best_mode == "min":
+            return current < best_metrics.get(name, float("inf"))
+        return current > best_metrics.get(name, float("-inf"))
 
     # ------------------------------------------------------------------
     def _build_eval_step(self, mesh):

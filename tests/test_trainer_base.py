@@ -130,3 +130,24 @@ class TestTrainLoop:
         t.setup(object(), strategy)
         t.train(2, self._loader(), val_loader=self._loader(), test_loader=self._loader())
         assert strategy.calls == 4  # 2 val + 2 test
+
+
+class TestBestModelSelection:
+    def test_strategy_best_metric_max(self):
+        from multimodal_tta_tpu.conf import ConfigNode
+        from multimodal_tta_tpu.evaluation import SegmentationEvaluationStrategy
+
+        strat = SegmentationEvaluationStrategy(
+            ConfigNode({"evaluation": {"best_metric": "avg_dc", "best_mode": "max"}})
+        )
+        assert strat.is_best_model({"avg_dc": 0.7}, {})
+        assert strat.is_best_model({"avg_dc": 0.8}, {"avg_dc": 0.7})
+        assert not strat.is_best_model({"avg_dc": 0.6}, {"avg_dc": 0.7})
+
+    def test_strategy_default_min_loss(self):
+        from multimodal_tta_tpu.conf import ConfigNode
+        from multimodal_tta_tpu.evaluation import SegmentationEvaluationStrategy
+
+        strat = SegmentationEvaluationStrategy(ConfigNode({}))
+        assert strat.is_best_model({"loss": 1.0}, {})
+        assert not strat.is_best_model({"loss": 2.0}, {"loss": 1.0})
