@@ -203,6 +203,10 @@ class TrainerBase(ABC):
             for h in self._hooks:
                 h.after_train_step()
 
+        # drain any asynchronously-pending step metrics (trainers may defer
+        # the device->host metric sync by one step to keep the TPU pipelined)
+        self._update_metrics(metrics, self.flush_step_metrics())
+
         for h in self._hooks:
             h.after_train_epoch()
 
@@ -215,6 +219,10 @@ class TrainerBase(ABC):
     def _wrap_loader(self, loader):
         """Optionally wrap the epoch's batch iterator (e.g. device prefetch)."""
         return loader
+
+    def flush_step_metrics(self) -> Dict[str, float]:
+        """Metrics a trainer deferred past the last run_step of the epoch."""
+        return {}
 
     def _set_lr(self, lr: float) -> None:
         from .optim import set_learning_rate

@@ -74,6 +74,7 @@ class SegTrainer(TrainerBase):
 
         self._rng = jax.random.PRNGKey(int(get_config(config, "task.seed", 0)))
         self._train_step = None  # built lazily (needs mesh + state structure)
+        self._pending_loss = None
 
     # ------------------------------------------------------------------
     def _build_train_step(self):
@@ -194,7 +195,19 @@ class SegTrainer(TrainerBase):
         self.state, metrics = self._train_step(
             self.state, image, label, step_key, np.int32(n_valid)
         )
-        return {"loss": float(metrics["loss"])}
+        # Defer the device->host loss sync by one step: returning last step's
+        # loss keeps the dispatch queue full (step k+1 is enqueued while step
+        # k executes). flush_step_metrics() drains the final step at epoch end.
+        prev = self._pending_loss
+        self._pending_loss = metrics["loss"]
+        return {"loss": float(prev)} if prev is not None else {}
+
+    def flush_step_metrics(self):
+        if self._pending_loss is None:
+            return {}
+        loss = float(self._pending_loss)
+        self._pending_loss = None
+        return {"loss": loss}
 
     def _check_shapes_meta(self, image, label) -> None:
         """Shape-contract checks on array metadata (no host transfer)."""
