@@ -237,3 +237,57 @@ class TestOnDeviceTransforms:
             m_d = strat_d.evaluate_epoch(mgr_d.state, mgr_d.test_loader, mgr_d.mesh)
         assert m_h["gtvt_dc"] == pytest.approx(m_d["gtvt_dc"], abs=2e-3)
         assert m_h["avg_dc"] == pytest.approx(m_d["avg_dc"], abs=2e-3)
+
+
+class TestSpatialShardingConfig:
+    def test_train_with_space_axis(self, hecktor_manifest, tmp_path):
+        """training.mesh.space=2 shards volume depth over the space axis;
+        training must run and losses stay finite (XLA inserts conv halo
+        exchanges)."""
+        cfg = small_cfg(
+            hecktor_manifest,
+            tmp_path,
+            extra=[
+                "training.mesh.data=4",
+                "training.mesh.space=2",
+                "training.epochs=1",
+                "training.batch_size=4",
+                "training.eval_test.do_val=false",
+                "training.eval_test.do_test=false",
+            ],
+        )
+        mgr = ExperimentManager(cfg)
+        assert mgr.mesh.shape["space"] == 2 and mgr.mesh.shape["data"] == 4
+        mgr.setup_model()
+        mgr.setup_data("train")
+        mgr.setup_optimizer()
+        mgr.setup_scheduler()
+        mgr.setup_trainer(str(tmp_path / "run_sp"))
+        results = mgr.train(1)
+        assert np.isfinite(results["train_history"][0]["loss"])
+
+
+class TestDeterminism:
+    def test_identical_runs_identical_losses(self, hecktor_manifest, tmp_path):
+        def run(tag):
+            cfg = small_cfg(
+                hecktor_manifest,
+                tmp_path,
+                extra=[
+                    "training.epochs=2",
+                    "training.eval_test.do_val=false",
+                    "training.eval_test.do_test=false",
+                    f"task.run_name=det_{tag}",
+                ],
+            )
+            mgr = ExperimentManager(cfg)
+            mgr.setup_model()
+            mgr.setup_data("train")
+            mgr.setup_optimizer()
+            mgr.setup_scheduler()
+            mgr.setup_trainer(str(tmp_path / f"det_{tag}"))
+            return [h["loss"] for h in mgr.train(2)["train_history"]]
+
+        a = run("a")
+        b = run("b")
+        assert a == b, f"non-deterministic training: {a} vs {b}"
