@@ -90,6 +90,16 @@ class TentAdapter:
         self.md_enabled = bool(get_config(md, "enabled", False))
         self.md_prob = float(get_config(md, "prob", 0.25))
 
+        # windowed adaptation: each step computes the entropy objective on
+        # randomly-cropped ROIs instead of whole volumes — bounds adaptation
+        # memory for volumes whose whole-volume backward exceeds HBM (the
+        # companion of sliding-window INFERENCE, which the eval strategy
+        # provides via evaluation.sliding_window)
+        wnd = get_config(self.cfg, "window", ConfigNode())
+        self.window_enabled = bool(get_config(wnd, "enabled", False))
+        self.window_roi = tuple(int(x) for x in get_config(wnd, "roi_size", [32, 96, 96]))
+        self.windows_per_step = int(get_config(wnd, "windows_per_step", 4))
+
         # loss: "entropy" (Tent) or "entropy+consistency" (adds an invariance
         # term between predictions on the batch and an intensity-jittered view)
         self.loss_mode = str(get_config(self.cfg, "loss", "entropy")).lower()
@@ -182,6 +192,9 @@ class TentAdapter:
         cons_weight = self.cons_weight
         cons_scale = self.cons_scale
         cons_shift = self.cons_shift
+        window_enabled = self.window_enabled
+        window_roi = self.window_roi
+        windows_per_step = self.windows_per_step
 
         episodic = self.episodic
 
@@ -238,14 +251,52 @@ class TentAdapter:
                     loss = loss + cons_weight * jnp.sum(per_cons * mask) / denom
                 return loss, new_bs
 
+            def crop_windows(key, x):
+                """Sample `windows_per_step` random ROIs from valid batch
+                samples; returns [W, *roi, C] for the windowed objective."""
+                rd, rh, rw = window_roi
+                _, d, h, w, c = x.shape
+                ks, kd, kh, kw = jax.random.split(key, 4)
+                n = jnp.maximum(n_valid, 1)
+                sample_idx = jax.random.randint(ks, (windows_per_step,), 0, n)
+                od = jax.random.randint(kd, (windows_per_step,), 0, max(d - rd, 0) + 1)
+                oh = jax.random.randint(kh, (windows_per_step,), 0, max(h - rh, 0) + 1)
+                ow = jax.random.randint(kw, (windows_per_step,), 0, max(w - rw, 0) + 1)
+
+                def one(si, sd, sh, sw):
+                    vol = jax.lax.dynamic_index_in_dim(x, si, axis=0, keepdims=False)
+                    return jax.lax.dynamic_slice(vol, (sd, sh, sw, 0), (rd, rh, rw, c))
+
+                return jax.vmap(one)(sample_idx, od, oh, ow)
+
+            def windowed_loss_of(trainable, bs, x, key):
+                k_crop, k_cons = jax.random.split(key)
+                wins = crop_windows(k_crop, x)  # all windows come from valid samples
+                logits, new_bs = forward(trainable, bs, wins)
+                loss = entropy_loss(logits, sigmoid=sigmoid_mode)
+                if use_consistency:
+                    wins2 = rand_intensity_scale_shift(
+                        k_cons, wins, scale=cons_scale, shift=cons_shift, prob=1.0
+                    )
+                    logits2, _ = forward(trainable, bs, wins2)
+                    if sigmoid_mode:
+                        p1, p2 = jax.nn.sigmoid(logits), jax.nn.sigmoid(logits2)
+                    else:
+                        p1 = jax.nn.softmax(logits, axis=-1)
+                        p2 = jax.nn.softmax(logits2, axis=-1)
+                    loss = loss + cons_weight * jnp.mean((p1 - p2) ** 2)
+                return loss, new_bs
+
+            objective = windowed_loss_of if window_enabled else loss_of
+
             def one_step(carry, key):
                 trainable, bs, opt_state = carry
-                k_md, k_cons = jax.random.split(key)
+                k_md, k_obj = jax.random.split(key)
                 x = image
                 if md_enabled:
                     x = modality_dropout(k_md, x, prob=md_prob)
-                (ent, new_bs), grads = jax.value_and_grad(loss_of, has_aux=True)(
-                    trainable, bs, x, k_cons
+                (ent, new_bs), grads = jax.value_and_grad(objective, has_aux=True)(
+                    trainable, bs, x, k_obj
                 )
                 updates, opt_state = tx.update(grads, opt_state, trainable)
                 trainable = optax.apply_updates(trainable, updates)

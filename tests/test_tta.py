@@ -304,3 +304,37 @@ class TestConsistencyLoss:
         cfg = full_cfg(tent_cfg(loss="banana"))
         with pytest.raises(ValueError, match="unknown loss mode"):
             TentAdapter(cfg.tta, config=cfg, mesh=None)
+
+
+class TestWindowedAdaptation:
+    def test_windowed_tta_entropy_decreases_memory_light(self):
+        """Adaptation on random ROIs instead of whole volumes (bounded-memory
+        companion of sliding-window inference)."""
+        state = make_state()
+        cfg = full_cfg(
+            tent_cfg(
+                steps=3, lr=1e-2,
+                window={"enabled": True, "roi_size": [16, 16, 16], "windows_per_step": 4},
+            )
+        )
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+        adapt_fn = adapter.make_adapt_fn(state)
+        # larger-than-roi volumes
+        x = jnp.asarray(np.random.RandomState(30).randn(2, 32, 32, 32, 2), jnp.float32)
+        from multimodal_tta_tpu.ops.losses import entropy_loss
+
+        logits0 = state.apply_fn({"params": state.params}, x, train=False)
+        ent0 = float(entropy_loss(logits0))
+        s1 = adapt_fn(state, x, 2)
+        logits1 = s1.apply_fn({"params": s1.params}, x, train=False)
+        ent1 = float(entropy_loss(logits1))
+        assert ent1 < ent0, f"windowed TTA did not reduce entropy: {ent0} -> {ent1}"
+        # only norm params moved
+        mask = norm_param_mask(state.params)
+        for p0, pm, p1 in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(mask),
+            jax.tree_util.tree_leaves(s1.params),
+        ):
+            if not pm:
+                assert np.allclose(np.asarray(p0), np.asarray(p1))
