@@ -135,3 +135,40 @@ class TestHeaderFeatures:
         open(p, "wb").write(b"\x00" * 400)
         with pytest.raises(ValueError):
             nifti.load(p)
+
+
+class TestEdgeCases:
+    def test_4d_volume_roundtrip(self, tmp_path):
+        arr = _random_img(shape=(4, 5, 6), seed=20)[..., None].repeat(3, axis=-1)  # (X,Y,Z,T)
+        p = str(tmp_path / "4d.nii.gz")
+        nifti.save(arr, np.eye(4), p)
+        img = nifti.load(p)
+        assert img.shape == (4, 5, 6, 3)
+        assert np.allclose(np.asarray(img.dataobj), arr)
+
+    def test_canonical_4d_reorients_spatial_only(self, tmp_path):
+        arr = _random_img(shape=(4, 5, 6), seed=21)[..., None].repeat(2, axis=-1)
+        affine = np.diag([-1.0, 1.0, 1.0, 1.0])
+        p = str(tmp_path / "4dflip.nii.gz")
+        nifti.save(arr, affine, p)
+        img = nifti.as_closest_canonical(nifti.load(p))
+        got = np.asarray(img.dataobj)
+        assert got.shape == (4, 5, 6, 2)
+        assert np.allclose(got, arr[::-1, :, :, :])
+
+    def test_decoded_cache_hits_and_bounds(self, tmp_path):
+        from multimodal_tta_tpu.data.nifti import DecodedCache
+
+        p = str(tmp_path / "c.nii.gz")
+        nifti.save(_random_img(seed=22), np.eye(4), p)
+        cache = nifti.DecodedCache(max_bytes=10 << 20)
+        a = cache.get_or_load(p)
+        b = cache.get_or_load(p)
+        assert a is b  # second access is a cache hit
+        assert cache.hits == 1 and cache.misses == 1
+
+        tiny = nifti.DecodedCache(max_bytes=10)  # too small to store anything
+        x = tiny.get_or_load(p)
+        y = tiny.get_or_load(p)
+        assert x is not y  # nothing cached under the byte bound
+        assert tiny.misses == 2
