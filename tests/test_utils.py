@@ -5,6 +5,7 @@ import logging
 import numpy as np
 import pytest
 
+import multimodal_tta_tpu.evaluation  # noqa: F401 (registers seg_eval)
 from multimodal_tta_tpu.conf import ConfigNode
 from multimodal_tta_tpu.utils import AverageMeter, LoggerWriter, get_logger, set_random_seed, setup_logger
 
