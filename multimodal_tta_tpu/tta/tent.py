@@ -6,18 +6,21 @@ precisely to host one). This module supplies the engine, TPU-first:
 
   - entropy minimization (Wang et al., "Tent", ICLR 2021 — public method)
     over sigmoid (multi-label) or softmax outputs, selected from
-    ``training.criterion`` mode
-  - gradients restricted to normalization-layer affine params via
-    ``optax.masked`` over a norm-param pytree mask (InstanceNorm/GroupNorm
-    scale+bias; for BatchNorm models the batch statistics are additionally
-    recomputed from the test batch inside the same jit)
+    ``training.criterion`` mode; optional prediction-consistency term
+  - the parameter tree is PARTITIONED: only the norm-affine subtree enters
+    autodiff (frozen params are captured constants), so XLA never emits the
+    frozen convs' weight-gradient einsums — faster AND lighter than masking
+    full-tree gradients (for BatchNorm models the batch statistics are
+    additionally recomputed from the test batch inside the same jit)
   - the K inner adaptation steps run under ONE jit as a ``lax.scan`` — no
-    host round-trips inside adaptation
+    host round-trips inside adaptation; ``make_adapt_predict_fn`` further
+    fuses the post-adaptation segmentation forward into the same dispatch
   - multi-chip: the test batch enters sharded over the mesh ``data`` axis
     with params replicated; XLA inserts the gradient (and batch-stat)
     all-reduce over ICI, so every chip adapts with pooled statistics
     (BASELINE.json: "BN-statistic allreduce over ICI")
-  - optional missing-modality dropout per step (BASELINE.json config #3)
+  - optional missing-modality dropout per step (BASELINE.json config #3) and
+    windowed adaptation (random-ROI objective) for oversized volumes
   - episodic (reset per batch) or continual (state carries across stream)
 """
 
