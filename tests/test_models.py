@@ -125,3 +125,33 @@ class TestMidFusion:
         m = MultimodalUNetMidFusion.from_config(cfg)
         assert m.num_modalities == 4 and not m.domain_enabled
         assert m.get_domain_loss_weight() == 0.0
+
+
+class TestUNetWS:
+    def test_registered_and_shapes(self, rng_key):
+        from multimodal_tta_tpu.models.unet3d_ws import UNet3DWS, depth_to_space_3d, space_to_depth_3d
+
+        assert get_model("unet_ws") is UNet3DWS
+        m = UNet3DWS(in_channels=2, num_classes=1, channels=(4, 8, 16, 32, 64),
+                     strides=(2, 2, 2, 2), num_res_units=1)
+        x = jnp.zeros((1, 16, 16, 16, 2))
+        v = m.init(rng_key, x)
+        y = m.apply(v, x)
+        assert y.shape == (1, 16, 16, 16, 1)
+
+    def test_space_depth_roundtrip(self):
+        from multimodal_tta_tpu.models.unet3d_ws import depth_to_space_3d, space_to_depth_3d
+
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 4, 6, 8, 3), jnp.float32)
+        assert np.allclose(np.asarray(depth_to_space_3d(space_to_depth_3d(x))), np.asarray(x))
+
+    def test_grad_flows(self, rng_key):
+        import jax as _jax
+        from multimodal_tta_tpu.models.unet3d_ws import UNet3DWS
+
+        m = UNet3DWS(in_channels=1, num_classes=2, channels=(2, 4, 8, 16, 32),
+                     strides=(2, 2, 2, 2), num_res_units=1)
+        x = jnp.asarray(np.random.RandomState(1).randn(1, 16, 16, 16, 1), jnp.float32)
+        v = m.init(rng_key, x)
+        g = _jax.grad(lambda p: jnp.mean(m.apply({"params": p}, x) ** 2))(v["params"])
+        assert all(np.isfinite(np.asarray(l)).all() for l in _jax.tree_util.tree_leaves(g))
