@@ -1,18 +1,32 @@
 """Benchmark harness.
 
 Headline metric (BASELINE.json): volumes adapted+segmented per second per
-chip — each volume gets one Tent TTA adaptation step (entropy backward on
-norm params) plus a segmentation forward, on the HECKTOR21 working shape
+chip — each volume gets on-device intensity normalization (clip + masked
+z-score, the HECKTOR policy), one Tent TTA adaptation step (entropy backward
+on norm params) and a segmentation forward, on the HECKTOR21 working shape
 [48,144,144] x 2 channels (CT/PET) with the full-size UNet3D (channels
-[32,64,128,256,512], ~31M params equivalent).
+[32,64,128,256,512], ~31M params).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Two configs, reported in ONE JSON line
+{"metric", "value", "unit", "vs_baseline", "e2e_*"}:
 
-vs_baseline compares against the same workload executed on one CPU host
-device — the reference implementation is CPU-bound torch/MONAI which cannot
-run in this environment (monai is not installed), so the CPU-JAX path is the
-stand-in reference baseline; it is measured once and cached in
-.bench_cpu_baseline.json.
+  device  — pre-staged tensors, measures the pure device serving rate on a
+            single chip (the headline `value`).
+  e2e     — disk -> NIfTI(gz) decode -> threaded host loader -> prefetch ->
+            H2D -> adapt+segment, on generated full-working-shape .nii.gz
+            volumes (the reference's hot loop incl. its DataLoader:
+            src/datasets/hecktor21.py:237-298). Reported as
+            `e2e_volumes_per_sec_per_chip` / `e2e_fraction_of_device`.
+            NOTE: on this dev image the TPU is tunneled, so H2D bandwidth is
+            network-bound; on a host-attached TPU the e2e fraction is
+            decode-bound instead (see BASELINE.md).
+
+vs_baseline compares against the same device workload executed on one CPU
+host device — the reference implementation is CPU-bound torch/MONAI which
+cannot run in this environment (monai is not installed), so the CPU-JAX path
+is the stand-in reference baseline; it is measured once and cached in
+.bench_cpu_baseline.json (the cached number predates the in-step normalizer,
+whose CPU cost is negligible relative to the conv stack).
 """
 
 from __future__ import annotations
@@ -43,6 +57,24 @@ CPU_CACHE = os.path.join(REPO_ROOT, ".bench_cpu_baseline.json")
 
 SHAPE = (48, 144, 144, 2)  # D,H,W,C — HECKTOR21 working shape
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+E2E_BATCHES = int(os.environ.get("BENCH_E2E_BATCHES", "4"))  # volumes = BATCHES*BATCH
+E2E_EPOCHS = int(os.environ.get("BENCH_E2E_EPOCHS", "2"))
+E2E_WORKERS = int(os.environ.get("BENCH_E2E_WORKERS", str(min(8, os.cpu_count() or 4))))
+
+# mirror of configs/_global_patches/hecktor21.yaml training.data.transforms
+HECKTOR_POLICY = {
+    "enabled": True,
+    "channel_names": ["ct", "pt"],
+    "channels": {
+        "ct": {"clip": [-1000, 1000], "zscore": {"masked": True, "mask_gt": -900, "eps": 1e-6}},
+        "pt": {"clip": [0.0, 15.0], "zscore": {"masked": True, "mask_gt": 0.0, "eps": 1e-6}},
+    },
+}
+DEVICE_TRANSFORM = {
+    "normalize": True,
+    "intensity_policy": HECKTOR_POLICY,
+    "channel_names": ["ct", "pt"],
+}
 
 
 def _parse_remat(v: str):
@@ -54,16 +86,16 @@ def _parse_remat(v: str):
     return int(v)
 
 
-def build_workload():
+def build_adapter_state():
+    """Full-size flagship model + Tent adapter (adapt+segment fused jit)."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
+    import optax
 
     from multimodal_tta_tpu.conf import ConfigNode
     from multimodal_tta_tpu.core.train_state import TrainState
     from multimodal_tta_tpu.models import UNet3D
     from multimodal_tta_tpu.tta import TentAdapter
-    import optax
 
     model = UNet3D(
         in_channels=2,
@@ -100,33 +132,135 @@ def build_workload():
             },
         }
     )
-    adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+    adapter = TentAdapter(cfg.tta, config=cfg, mesh=None, device_transform=DEVICE_TRANSFORM)
     # adapt + segment fused into ONE jitted dispatch (threshold 0.3, the
     # HECKTOR eval threshold)
     adapt_predict = adapter.make_adapt_predict_fn(state, threshold=0.3)
+    return state, adapt_predict
 
+
+def _make_checksum():
+    """Result-dependent scalar sync. On the tunneled dev platform
+    ``block_until_ready`` returns before execution completes, so timing must
+    gate on a value DERIVED from the result: fetching this scalar cannot
+    complete until the producing computation has (and device execution is
+    in-order, so it also fences everything enqueued before it)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def checksum(p):
+        return p.astype(jnp.uint32).sum()
+
+    return checksum
+
+
+def build_workload():
+    import jax.numpy as jnp
+    import numpy as np
+
+    state, adapt_predict = build_adapter_state()
+    checksum = _make_checksum()
     rng = np.random.RandomState(0)
     x_np = (rng.randn(BATCH, *SHAPE) * 100).astype(np.float32)
     x = jnp.asarray(x_np)
 
-    def run_once():
+    def run_once(sync: bool = True):
         _, pred = adapt_predict(state, x, BATCH)
-        pred.block_until_ready()
-        return pred
+        c = checksum(pred)
+        return int(c) if sync else c
 
     return run_once
 
 
-def measure(iters: int, warmup: int = 2) -> float:
-    """Returns volumes/sec for the adapt+segment workload."""
+def measure_device(iters: int, warmup: int = 2) -> float:
+    """Volumes/sec for the adapt+segment workload on pre-staged tensors,
+    serving-pipelined: all steps are enqueued back-to-back and the clock
+    stops on a scalar derived from the LAST step's predictions (in-order
+    execution fences the rest)."""
     run_once = build_workload()
     for _ in range(warmup):
-        run_once()
+        run_once(sync=True)
     t0 = time.perf_counter()
+    last = None
     for _ in range(iters):
-        run_once()
+        last = run_once(sync=False)
+    int(last)  # fences the whole pipeline
     dt = time.perf_counter() - t0
     return BATCH * iters / dt
+
+
+# ----------------------------------------------------------------------------
+# End-to-end config: disk -> decode -> prefetch -> H2D -> adapt+segment
+# ----------------------------------------------------------------------------
+
+def ensure_e2e_fixture() -> str:
+    """Generate (once) a full-working-shape synthetic HECKTOR tree; returns
+    the manifest path. ~9 MB gz per volume (float32 CT/PET + uint8 mask)."""
+    root = os.environ.get("BENCH_FIXTURE_DIR", os.path.join(REPO_ROOT, ".bench_fixture"))
+    n_vols = E2E_BATCHES * BATCH
+    tag = os.path.join(root, f"hecktor_{n_vols}x144x144x48.done")
+    manifest = os.path.join(root, "manifest.csv")
+    if os.path.exists(tag) and os.path.exists(manifest):
+        return manifest
+    from multimodal_tta_tpu.data.synthetic import make_hecktor_fixture
+
+    print(f"[bench] generating e2e fixture ({n_vols} volumes) ...", file=sys.stderr)
+    manifest = make_hecktor_fixture(
+        root,
+        centers={"CHUP": n_vols, "CHUS": 2},  # CHUP = target/test center
+        shape=(144, 144, 48),  # (X,Y,Z) -> (D,H,W)=(48,144,144)
+        seed=0,
+    )
+    with open(tag, "w") as f:
+        f.write("ok")
+    return manifest
+
+
+def measure_e2e(epochs: int = E2E_EPOCHS) -> float:
+    """Volumes/sec through the full serving pipeline: threaded NIfTI decode,
+    device prefetch with f16 transfer, fused adapt+segment per batch."""
+    import numpy as np
+
+    from multimodal_tta_tpu.data.hecktor21 import Hecktor21Dataset
+    from multimodal_tta_tpu.data.loader import HostLoader
+    from multimodal_tta_tpu.data.prefetch import prefetch_to_device
+
+    manifest = ensure_e2e_fixture()
+    dataset = Hecktor21Dataset(
+        manifest,
+        "test",
+        target_center="CHUP",
+        expected_shape=(144, 144, 48),
+        transform=None,  # normalization runs on device inside the fused jit
+    )
+    state, adapt_predict = build_adapter_state()
+    checksum = _make_checksum()
+    loader = HostLoader(
+        dataset, batch_size=BATCH, shuffle=False, num_workers=E2E_WORKERS,
+        prefetch_batches=3,
+    )
+
+    def run_epoch() -> int:
+        n = 0
+        pred = None
+        for batch in prefetch_to_device(
+            loader, None, depth=2, array_keys=("image",),
+            image_transfer_dtype=np.float16,
+        ):
+            _, pred = adapt_predict(state, batch["image"], batch["_n_valid"])
+            n += int(batch["_n_valid"])
+        if pred is not None:
+            int(checksum(pred))  # fences decode+H2D+compute for the epoch
+        return n
+
+    run_epoch()  # warmup: compile + OS page cache
+    t0 = time.perf_counter()
+    total = 0
+    for _ in range(epochs):
+        total += run_epoch()
+    dt = time.perf_counter() - t0
+    return total / dt
 
 
 def cpu_baseline() -> float:
@@ -156,15 +290,24 @@ def main() -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        vps = measure(iters=2, warmup=1)
+        vps = measure_device(iters=2, warmup=1)
         print(json.dumps({"volumes_per_sec": vps}))
         return
 
     import jax
 
-    n_chips = len(jax.devices())
-    vps = measure(iters=10, warmup=3)
-    per_chip = vps / max(1, n_chips) if jax.devices()[0].platform != "cpu" else vps
+    # pin the whole workload to ONE chip so `value` is honestly per-chip on
+    # any host (multi-chip aggregate scaling is the mesh path, proven by
+    # dryrun_multichip and the 8-device CPU tests)
+    dev0 = jax.devices()[0]
+    with jax.default_device(dev0):
+        vps = measure_device(iters=10, warmup=3)
+        e2e = None
+        if os.environ.get("BENCH_E2E", "1") != "0":
+            try:
+                e2e = measure_e2e()
+            except Exception as e:  # e2e must never kill the headline number
+                print(f"[bench] e2e config failed: {e}", file=sys.stderr)
 
     try:
         base = cpu_baseline()
@@ -173,11 +316,14 @@ def main() -> None:
         base = None
 
     result = {
-        "metric": "volumes adapted+segmented/sec/chip (HECKTOR21 48x144x144x2, UNet3D-32..512, tent 1 step)",
-        "value": round(per_chip, 3),
+        "metric": "volumes adapted+segmented/sec/chip (HECKTOR21 48x144x144x2, UNet3D-32..512, on-device normalize + tent 1 step)",
+        "value": round(vps, 3),
         "unit": "volumes/sec/chip",
-        "vs_baseline": round(per_chip / base, 2) if base else None,
+        "vs_baseline": round(vps / base, 2) if base else None,
     }
+    if e2e is not None:
+        result["e2e_volumes_per_sec_per_chip"] = round(e2e, 3)
+        result["e2e_fraction_of_device"] = round(e2e / vps, 3)
     print(json.dumps(result))
 
 

@@ -1,9 +1,18 @@
 """Checkpoint serialization.
 
-TrainState pytrees are serialized with flax msgpack (fast, dependency-free,
-restores onto a template state so shardings/structure survive), with a JSON
-sidecar for host metadata (epoch, best metrics, scheduler state). Write is
-atomic (tmp + rename) so preemption mid-save never corrupts the latest
+Two formats behind one (path, state, extra) API:
+
+- **msgpack** (default, single-host): flax msgpack bytes (fast,
+  dependency-free, restores onto a template state so shardings/structure
+  survive). Gathers to host 0 — right for v5e-8 single-host runs.
+- **orbax** (sharded, multi-host-safe): each process writes ONLY its
+  addressable shards (OCDBT ``ocdbt.process_N`` files) — nothing gathers to
+  host 0, so pod-scale states that exceed one host's RAM still checkpoint;
+  restore places shards per the template state's shardings.
+
+Both have a JSON sidecar for host metadata (epoch, best metrics, scheduler
+state) and atomic commit semantics (tmp + rename for msgpack; orbax's own
+finalization protocol) so preemption mid-save never corrupts the latest
 checkpoint — TPU preemption is routine (SURVEY.md §5).
 """
 
@@ -36,12 +45,7 @@ def save_checkpoint(path: str, state, extra: Dict[str, Any] = None) -> None:
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, path + ".msgpack")
-
-    meta = dict(extra or {})
-    tmp = path + ".json.tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(meta, f, default=_json_default)
-    os.replace(tmp, path + ".json")
+    _write_sidecar(path, extra or {})
 
 
 def _json_default(o):
@@ -54,7 +58,10 @@ def _json_default(o):
 
 def load_checkpoint(path: str, template_state) -> Tuple[Any, Dict[str, Any]]:
     """Restore a TrainState from ``path`` using ``template_state`` for
-    structure; returns (state, extra_metadata)."""
+    structure; returns (state, extra_metadata). Auto-detects format:
+    prefers the sharded orbax directory when present, else msgpack."""
+    if os.path.isdir(path + ".orbax"):
+        return load_checkpoint_sharded(path, template_state)
     with open(path + ".msgpack", "rb") as f:
         blob = f.read()
     template = jax.device_get(_state_payload(template_state))
@@ -65,9 +72,77 @@ def load_checkpoint(path: str, template_state) -> Tuple[Any, Dict[str, Any]]:
         batch_stats=restored["batch_stats"],
         opt_state=restored["opt_state"],
     )
-    extra: Dict[str, Any] = {}
+    return state, _read_sidecar(path)
+
+
+def _read_sidecar(path: str) -> Dict[str, Any]:
     meta_path = path + ".json"
     if os.path.exists(meta_path):
         with open(meta_path, "r", encoding="utf-8") as f:
-            extra = json.load(f)
-    return state, extra
+            return json.load(f)
+    return {}
+
+
+def _write_sidecar(path: str, extra: Dict[str, Any]) -> None:
+    meta = dict(extra or {})
+    tmp = path + ".json.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(meta, f, default=_json_default)
+    os.replace(tmp, path + ".json")
+
+
+# ----------------------------------------------------------------------------
+# Sharded (multi-host-safe) format
+# ----------------------------------------------------------------------------
+
+def _as_jax_leaves(tree):
+    """Orbax saves jax.Arrays shard-wise; lift plain scalars/np arrays."""
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(
+        lambda x: x if isinstance(x, jax.Array) else jnp.asarray(x), tree
+    )
+
+
+def save_checkpoint_sharded(path: str, state, extra: Dict[str, Any] = None) -> None:
+    """Multi-host-safe save: every process writes only its ADDRESSABLE shards
+    into ``path.orbax/`` (OCDBT: one ``ocdbt.process_N`` per host) — no
+    gather to host 0, unlike the msgpack format. The JSON sidecar is written
+    by process 0 only. Collective: all processes must call this."""
+    import orbax.checkpoint as ocp
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    payload = _as_jax_leaves(_state_payload(state))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path) + ".orbax", payload, force=True)
+    ckptr.wait_until_finished()
+    ckptr.close()
+    if jax.process_index() == 0:
+        _write_sidecar(path, extra or {})
+
+
+def load_checkpoint_sharded(path: str, template_state) -> Tuple[Any, Dict[str, Any]]:
+    """Restore from the sharded format. Each leaf is restored with the
+    TEMPLATE state's sharding (shards land directly on their devices; a
+    checkpoint written on one mesh can restore onto another of the same
+    global shapes). Collective: all processes must call this."""
+    import orbax.checkpoint as ocp
+
+    template = _as_jax_leaves(_state_payload(template_state))
+
+    def abstract(x):
+        sharding = getattr(x, "sharding", None)
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(
+        os.path.abspath(path) + ".orbax", jax.tree_util.tree_map(abstract, template)
+    )
+    ckptr.close()
+    state = template_state.replace(
+        step=restored["step"],
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+    )
+    return state, _read_sidecar(path)

@@ -15,7 +15,7 @@ from typing import Dict, Optional
 
 import jax
 
-from .checkpoint import load_checkpoint, save_checkpoint
+from .checkpoint import load_checkpoint, save_checkpoint, save_checkpoint_sharded
 from .trainer_base import HookBase
 
 
@@ -42,10 +42,15 @@ class CheckpointHook(HookBase):
     scheduler state, best_metrics.
     """
 
-    def __init__(self, save_dir: str, save_freq: int = 1, save_start: int = 10):
+    def __init__(self, save_dir: str, save_freq: int = 1, save_start: int = 10,
+                 fmt: str = "msgpack"):
         self.save_dir = save_dir
         self.save_freq = int(save_freq)
         self.save_start = int(save_start)
+        fmt = str(fmt).lower()
+        if fmt not in ("msgpack", "orbax", "sharded"):
+            raise ValueError(f"[CheckpointHook] unknown checkpoint format: {fmt}")
+        self.fmt = "orbax" if fmt in ("orbax", "sharded") else "msgpack"
         os.makedirs(self.save_dir, exist_ok=True)
 
     def after_train_epoch(self):
@@ -67,12 +72,15 @@ class CheckpointHook(HookBase):
         }
         if self.trainer.scheduler is not None:
             extra["scheduler"] = self.trainer.scheduler.state_dict()
-        save_checkpoint(path, self.trainer.state, extra)
+        if self.fmt == "orbax":
+            save_checkpoint_sharded(path, self.trainer.state, extra)
+        else:
+            save_checkpoint(path, self.trainer.state, extra)
         self.trainer.logger.info(f"Checkpoint saved to {path}")
 
     def load(self, path: str) -> int:
         """Restore trainer state; returns the epoch to resume from."""
-        if not os.path.exists(path) and not os.path.exists(path + ".msgpack"):
+        if not any(os.path.exists(path + s) for s in ("", ".msgpack", ".orbax")):
             self.trainer.logger.warning(f"Checkpoint not found at {path}, starting from scratch.")
             return 0
         state, extra = load_checkpoint(path, self.trainer.state)

@@ -2,8 +2,14 @@
 
 Functional rewrite of the reference trainer (reference:
 src/core/trainers/seg_trainer.py:13-145): the DiceCE loss is built entirely
-from ``training.criterion`` (softmax XOR sigmoid with the same validation),
-labels are shape-checked per mode, and each step returns ``{"loss": float}``.
+from ``training.criterion`` (softmax XOR sigmoid with the same validation)
+and labels are shape-checked per mode.
+
+Metrics contract: the device->host loss sync is pipelined one step behind, so
+``run_step`` returns the *previous* step's ``{"loss": float}`` (an empty dict
+on the first step), and ``flush_step_metrics()`` drains the final pending
+loss; callers that need this step's loss immediately call
+``run_step(batch)`` then merge ``flush_step_metrics()``.
 
 TPU-native step design:
   - ONE jit compiles the whole step: on-device intensity normalization +

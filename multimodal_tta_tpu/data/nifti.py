@@ -77,17 +77,24 @@ class NiftiImage:
         return self.dataobj.shape
 
     def get_fdata(self, dtype=np.float64) -> np.ndarray:
-        """Return floating-point data with scl_slope/inter applied."""
+        """Return floating-point data with scl_slope/inter applied.
+
+        Scaling semantics follow the NIfTI-1 spec (nifti1.h: "If the
+        scl_slope field is zero, no scaling is done") and nibabel's
+        ``get_slope_inter``: a zero or non-finite ``scl_slope`` means "no
+        scaling stored" and BOTH slope and intercept are ignored; a
+        non-finite intercept alongside a valid slope is treated as 0.
+        """
         data = np.asarray(self.dataobj, dtype=dtype)
         h = self.header
         if h is not None:
-            slope, inter = h.scl_slope, h.scl_inter
-            if slope not in (0.0, 1.0) or (slope == 1.0 and inter != 0.0):
-                if slope == 0.0:
-                    slope = 1.0
+            slope, inter = float(h.scl_slope), float(h.scl_inter)
+            if slope == 0.0 or not np.isfinite(slope):
+                return data
+            if not np.isfinite(inter):
+                inter = 0.0
+            if slope != 1.0 or inter != 0.0:
                 data = data * dtype(slope) + dtype(inter)
-            elif slope == 0.0 and inter != 0.0:
-                data = data + dtype(inter)
         return data
 
 

@@ -1,0 +1,130 @@
+"""Synthetic NIfTI dataset generators.
+
+Used by the test suite (via tests/fixtures.py) and by the end-to-end
+benchmark config in bench.py, which measures the full
+disk -> decode -> prefetch -> adapt+segment pipeline on generated
+full-working-shape volumes (the loader hot loop being replaced:
+reference src/datasets/hecktor21.py:237-298).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from . import nifti
+
+
+def make_hecktor_fixture(
+    root: str,
+    *,
+    centers: Dict[str, int] = None,
+    shape: Tuple[int, int, int] = (12, 12, 6),  # (X,Y,Z)
+    seed: int = 0,
+) -> str:
+    """Create a synthetic HECKTOR21 processed tree + manifest.csv.
+
+    Returns the manifest path. Volumes contain a ball-ish GTVt region so Dice
+    is learnable; CT in HU-ish range, PET in SUV-ish range.
+    """
+    centers = centers or {"CHUS": 4, "CHUM": 4, "CHGJ": 3}
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(root, "images")
+    lab_dir = os.path.join(root, "labels")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(lab_dir, exist_ok=True)
+
+    affine = np.diag([1.0, 1.0, 3.0, 1.0])
+    rows = []
+    for center, n in centers.items():
+        for i in range(n):
+            pid = f"{center}{i:03d}"
+            ct = rng.randn(*shape).astype(np.float32) * 200.0
+            pt = np.abs(rng.randn(*shape)).astype(np.float32) * 4.0
+            # ball mask at a random center
+            cx, cy, cz = (rng.randint(2, s - 2) for s in shape)
+            X, Y, Z = np.meshgrid(*(np.arange(s) for s in shape), indexing="ij")
+            mask = (((X - cx) ** 2 + (Y - cy) ** 2 + ((Z - cz) * 2) ** 2) < 9).astype(np.uint8)
+            # make the tumor visible in both modalities
+            ct = ct + mask * 300.0
+            pt = pt + mask * 6.0
+
+            ct_p = os.path.join(img_dir, f"{pid}_ct.nii.gz")
+            pt_p = os.path.join(img_dir, f"{pid}_pt.nii.gz")
+            gt_p = os.path.join(lab_dir, f"{pid}_gtvt.nii.gz")
+            nifti.save(ct, affine, ct_p)
+            nifti.save(pt, affine, pt_p)
+            nifti.save(mask, affine, gt_p)
+            rows.append(
+                {
+                    "patient_id": pid,
+                    "center_code": center,
+                    "center_id": list(centers).index(center),
+                    "domain": "source",
+                    "split": "train",
+                    "status": "ok",
+                    "ct_proc": ct_p,
+                    "pt_proc": pt_p,
+                    "gtvt_proc": gt_p,
+                }
+            )
+
+    manifest = os.path.join(root, "manifest.csv")
+    pd.DataFrame(rows).to_csv(manifest, index=False)
+    return manifest
+
+
+def make_brats_fixture(
+    root: str,
+    *,
+    sources: Optional[Dict[str, Dict]] = None,
+    shape: Tuple[int, int, int] = (10, 12, 10),  # (X,Y,Z)
+    seed: int = 1,
+) -> Dict[str, str]:
+    """Create synthetic BraTS per-source trees + processed.csv files.
+
+    Returns {source_name: csv_path}. Label values follow the per-profile
+    taxonomies (gli/ssa: 1..3, ped: 1..4).
+    """
+    sources = sources or {
+        "glipre": {"profile": "gli", "cases": {"train": 3, "test": 2}},
+        "ssa": {"profile": "ssa", "cases": {"train": 2}},
+        "ped": {"profile": "ped", "cases": {"train": 2}},
+    }
+    rng = np.random.RandomState(seed)
+    mods = ["t1n", "t1c", "t2w", "t2f"]
+    affine = np.eye(4)
+    out = {}
+    for sname, spec in sources.items():
+        sdir = os.path.join(root, sname)
+        os.makedirs(sdir, exist_ok=True)
+        max_label = 4 if spec["profile"] == "ped" else 3
+        rows = []
+        idx = 0
+        for split, n in spec["cases"].items():
+            for _ in range(n):
+                case = f"{sname}_{idx:03d}"
+                idx += 1
+                lab = rng.randint(0, max_label + 1, size=shape).astype(np.int16)
+                lab_p = os.path.join(sdir, f"{case}_seg.nii.gz")
+                nifti.save(lab.astype(np.uint8), affine, lab_p)
+                for m in mods:
+                    img = rng.randn(*shape).astype(np.float32)
+                    img_p = os.path.join(sdir, f"{case}_{m}.nii.gz")
+                    nifti.save(img, affine, img_p)
+                    rows.append(
+                        {
+                            "subject_id": case,
+                            "modality": m,
+                            "img_path": img_p,
+                            "label_path": lab_p,
+                            "split": split,
+                        }
+                    )
+        csv_path = os.path.join(sdir, "processed.csv")
+        pd.DataFrame(rows).to_csv(csv_path, index=False)
+        out[sname] = csv_path
+    return out

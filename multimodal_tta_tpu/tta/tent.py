@@ -126,7 +126,17 @@ class TentAdapter:
 
         self._adapt_step = None
         self._tx = None
+        self._last_ents = None
         self._rng = jax.random.PRNGKey(int(get_config(self.config, "task.seed", 0)) + 777)
+
+    @property
+    def last_entropy(self) -> Optional[float]:
+        """Final-step entropy of the most recent adaptation. Lazily synced:
+        the device->host read happens on ACCESS, not per batch, so serving
+        loops that don't inspect it keep the dispatch queue full."""
+        if self._last_ents is None:
+            return None
+        return float(self._last_ents[-1])
 
     # ------------------------------------------------------------------
     def _param_mask(self, params):
@@ -341,7 +351,7 @@ class TentAdapter:
             self._adapt_step = self._build_adapt_step(source_state)
         opt_state0 = self._tx.init(self.trainable_subtree(source_state.params))
         self._opt_state = opt_state0
-        self.last_entropy: Optional[float] = None
+        self._last_ents = None
 
         def adapt_fn(state, image, n_valid):
             base = source_state if self.episodic else state
@@ -358,7 +368,7 @@ class TentAdapter:
             )
             if not self.episodic:
                 self._opt_state = opt_state
-            self.last_entropy = float(ents[-1])
+            self._last_ents = ents
             return base.replace(params=params, batch_stats=batch_stats)
 
         return adapt_fn
@@ -370,7 +380,7 @@ class TentAdapter:
         step = self._build_adapt_step(source_state, predict_threshold=float(threshold))
         opt_state0 = self._tx.init(self.trainable_subtree(source_state.params))
         self._opt_state = opt_state0
-        self.last_entropy = None
+        self._last_ents = None
 
         def adapt_predict_fn(state, image, n_valid):
             base = source_state if self.episodic else state
@@ -380,7 +390,7 @@ class TentAdapter:
             )
             if not self.episodic:
                 self._opt_state = opt_state
-            self.last_entropy = float(ents[-1])
+            self._last_ents = ents
             return base.replace(params=params, batch_stats=batch_stats), pred
 
         return adapt_predict_fn

@@ -6,29 +6,59 @@ compilation cache amortizes that across processes and runs. Env-var
 configuration can be pre-empted when jax is imported at interpreter startup
 (sitecustomize), so the framework enables the cache programmatically at
 ExperimentManager / bench construction.
+
+The cache directory is keyed by a host fingerprint (CPU feature flags + jax
+version + platform). XLA:CPU AOT executables are compiled for the *exact*
+feature set of the compiling machine; reusing them on a different host is
+rejected with "could lead to SIGILL" errors (observed when a shared cache dir
+travels across machines). Per-host subdirectories keep the amortization on
+any one machine while making cross-machine reuse structurally impossible.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
 
 _DONE = False
-DEFAULT_CACHE_DIR = os.environ.get(
+BASE_CACHE_DIR = os.environ.get(
     "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/multimodal_tta_tpu/jax")
 )
 
 
+def host_fingerprint() -> str:
+    """Stable id for (machine ISA features, jax version) combinations."""
+    parts = [platform.machine(), platform.system()]
+    try:
+        import jax
+
+        parts.append(jax.__version__)
+    except Exception:
+        pass
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):  # x86 / aarch64
+                    parts.append(" ".join(sorted(line.split(":", 1)[1].split())))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(cache_dir: str = None) -> None:
-    """Idempotently enable the persistent compilation cache."""
+    """Idempotently enable the persistent compilation cache (per-host keyed)."""
     global _DONE
     if _DONE:
         return
     import jax
 
-    cache_dir = cache_dir or DEFAULT_CACHE_DIR
+    base = cache_dir or BASE_CACHE_DIR
+    target = os.path.join(base, host_fingerprint())
     try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        os.makedirs(target, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", target)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         _DONE = True

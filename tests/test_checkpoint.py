@@ -84,3 +84,122 @@ class TestRoundtrip:
 
         for a, b in zip(jax.tree_util.tree_leaves(s_full.params), jax.tree_util.tree_leaves(s_b.params)):
             assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestShardedOrbax:
+    """Multi-host-safe sharded format (VERDICT.md item 7): per-process OCDBT
+    shards, no gather to host 0; restore follows the template's shardings."""
+
+    def _mesh(self, shape=(4, 2)):
+        from jax.sharding import Mesh
+
+        devs = np.array(jax.devices()[: shape[0] * shape[1]]).reshape(shape)
+        return Mesh(devs, ("data", "space"))
+
+    def _sharded_state(self, mesh, seed=0):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        state = make_state(seed)
+        rep = NamedSharding(mesh, P())
+        state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x, state
+        )
+        # one genuinely sharded leaf: a per-sample accumulator over `data`
+        big = jnp.arange(32.0).reshape(8, 4)
+        big = jax.device_put(big, NamedSharding(mesh, P("data")))
+        return state.replace(batch_stats={"acc": big})
+
+    def test_sharded_roundtrip_on_mesh(self, tmp_path):
+        from multimodal_tta_tpu.core.checkpoint import (
+            load_checkpoint_sharded,
+            save_checkpoint_sharded,
+        )
+
+        mesh = self._mesh()
+        state = self._sharded_state(mesh)
+        path = str(tmp_path / "sh")
+        save_checkpoint_sharded(path, state, {"epoch": 4, "best_metrics": {"loss": 0.1}})
+        assert os.path.isdir(path + ".orbax")
+
+        fresh = self._sharded_state(mesh, seed=99)
+        restored, extra = load_checkpoint_sharded(path, fresh)
+        assert extra["epoch"] == 4
+        np.testing.assert_allclose(
+            np.asarray(restored.batch_stats["acc"]), np.arange(32.0).reshape(8, 4)
+        )
+        # sharding preserved from the template
+        assert restored.batch_stats["acc"].sharding == state.batch_stats["acc"].sharding
+        for a, b in zip(
+            jax.tree_util.tree_leaves(jax.device_get(state.params)),
+            jax.tree_util.tree_leaves(jax.device_get(restored.params)),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_load_checkpoint_autodetects_orbax(self, tmp_path):
+        from multimodal_tta_tpu.core.checkpoint import save_checkpoint_sharded
+
+        mesh = self._mesh()
+        state = self._sharded_state(mesh)
+        path = str(tmp_path / "auto")
+        save_checkpoint_sharded(path, state, {"epoch": 2})
+        restored, extra = load_checkpoint(path, self._sharded_state(mesh, seed=7))
+        assert extra["epoch"] == 2
+        np.testing.assert_allclose(
+            np.asarray(restored.batch_stats["acc"]), np.arange(32.0).reshape(8, 4)
+        )
+
+    def test_restore_onto_different_mesh_layout(self, tmp_path):
+        """A checkpoint written on a 4x2 mesh restores onto an 8x1 mesh —
+        shards are re-laid-out per the TEMPLATE's shardings."""
+        from multimodal_tta_tpu.core.checkpoint import (
+            load_checkpoint_sharded,
+            save_checkpoint_sharded,
+        )
+
+        state42 = self._sharded_state(self._mesh((4, 2)))
+        path = str(tmp_path / "re")
+        save_checkpoint_sharded(path, state42, {"epoch": 1})
+
+        template81 = self._sharded_state(self._mesh((8, 1)), seed=5)
+        restored, _ = load_checkpoint_sharded(path, template81)
+        assert restored.batch_stats["acc"].sharding == template81.batch_stats["acc"].sharding
+        np.testing.assert_allclose(
+            np.asarray(restored.batch_stats["acc"]), np.arange(32.0).reshape(8, 4)
+        )
+
+    def test_sharded_resume_drill(self, tmp_path):
+        """Preemption drill in the sharded format: resume-continued training
+        matches uninterrupted training exactly."""
+        from multimodal_tta_tpu.core.checkpoint import (
+            load_checkpoint_sharded,
+            save_checkpoint_sharded,
+        )
+
+        mesh = self._mesh()
+
+        def step(state, g_seed):
+            grads = jax.tree_util.tree_map(
+                lambda p: jax.random.normal(jax.random.PRNGKey(g_seed), p.shape),
+                state.params,
+            )
+            return state.apply_gradients(grads)
+
+        s_full = self._sharded_state(mesh)
+        for i in range(6):
+            s_full = step(s_full, i)
+
+        s_a = self._sharded_state(mesh)
+        for i in range(3):
+            s_a = step(s_a, i)
+        path = str(tmp_path / "drill")
+        save_checkpoint_sharded(path, s_a, {"epoch": 2})
+
+        s_b, _ = load_checkpoint_sharded(path, self._sharded_state(mesh, seed=123))
+        for i in range(3, 6):
+            s_b = step(s_b, i)
+
+        for a, b in zip(
+            jax.tree_util.tree_leaves(jax.device_get(s_full.params)),
+            jax.tree_util.tree_leaves(jax.device_get(s_b.params)),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
