@@ -25,6 +25,7 @@ from ..registry import register_dataset_builder
 from ..utils.config import get_config, require_config
 from ..utils.logger import get_logger
 from .base_builder import BaseDatasetBuilder
+from .manifest import resolve_manifest_path
 from .nifti import DecodedCache, load_canonical_dhw
 from .transforms import get_seg_transforms
 
@@ -39,15 +40,6 @@ DEFAULT_REGION_MAPS: Dict[str, Dict[str, List[int]]] = {
     "ssa": {"ET": [3], "TC": [1, 3], "WT": [1, 2, 3]},
     "ped": {"ET": [1], "TC": [1, 2, 3], "WT": [1, 2, 3, 4]},
 }
-
-
-def _resolve_path(path: Any, root_dir: Optional[str]) -> str:
-    if path is None or (isinstance(path, float) and np.isnan(path)):
-        return ""
-    p = str(path)
-    if root_dir and not os.path.isabs(p):
-        return os.path.join(root_dir, p)
-    return p
 
 
 def safe_round_label(label: np.ndarray, tol: float = 1e-3) -> np.ndarray:
@@ -97,60 +89,71 @@ def parse_processed_csv_to_cases(
     label_col: str = "label_path",
     logger=None,
 ) -> Dict[str, Dict[str, Any]]:
-    """Long-format CSV (one row per subject×modality) -> per-case record
-    (reference: src/datasets/brats.py:170-253)."""
+    """Assemble per-case records from a long-format CSV (one row per
+    subject×modality).
+
+    Pinned behavioral contract (reference semantics: src/datasets/brats.py
+    170-253, exercised by tests/test_datasets.py): a case's split and label
+    come from its FIRST row carrying one (later disagreements warn and are
+    ignored), the last row per modality wins, and a case survives only with
+    every modality in ``modality_order`` present (plus a label when
+    ``drop_unlabeled``). Case order follows first appearance in the CSV.
+    """
     logger = logger or get_logger()
-    df = pd.read_csv(csv_path)
+    table = pd.read_csv(csv_path)
 
-    for c in [subject_col, modality_col, img_col, split_col]:
-        if c not in df.columns:
-            raise ValueError(f"[BraTS] CSV missing required column '{c}': {csv_path}")
-    if label_col not in df.columns:
-        df[label_col] = np.nan
+    absent = [c for c in (subject_col, modality_col, img_col, split_col) if c not in table.columns]
+    if absent:
+        raise ValueError(f"[BraTS] {csv_path} lacks required column(s) {absent}")
+    if label_col not in table.columns:
+        table[label_col] = np.nan
 
-    cases: Dict[str, Dict[str, Any]] = {}
-    required_mods = [m.lower() for m in modality_order]
+    wanted = [m.lower() for m in modality_order]
+    records: Dict[str, Dict[str, Any]] = {}
+    n_incomplete = 0
+    n_unlabeled = 0
 
-    for _, row in df.iterrows():
-        case_id = str(row[subject_col])
-        mod = str(row[modality_col]).strip().lower()
-        split = str(row[split_col]).strip().lower()
-        img_path = _resolve_path(row[img_col], root_dir)
-        label_path = _resolve_path(row[label_col], root_dir) if pd.notna(row[label_col]) else ""
+    for case_id, rows in table.groupby(subject_col, sort=False):
+        case_id = str(case_id)
 
-        if case_id not in cases:
-            cases[case_id] = {"split": split, "modalities": {}, "label": label_path}
-        else:
-            if cases[case_id]["split"] != split:
+        splits = rows[split_col].astype(str).str.strip().str.lower()
+        split = splits.iloc[0]
+        if (splits != split).any():
+            logger.warning(
+                f"[BraTS] case '{case_id}' appears under several split values "
+                f"{sorted(splits.unique().tolist())}; keeping the first ('{split}')"
+            )
+
+        label = ""
+        for cell in rows[label_col]:
+            p = resolve_manifest_path(cell, root_dir) if pd.notna(cell) else ""
+            if not p:
+                continue
+            if not label:
+                label = p
+            elif p != label:
                 logger.warning(
-                    f"[BraTS] Inconsistent split for case={case_id}: "
-                    f"{cases[case_id]['split']} vs {split}. Keep the first."
+                    f"[BraTS] case '{case_id}' lists multiple label paths; keeping the first"
                 )
-            if label_path and cases[case_id]["label"] and cases[case_id]["label"] != label_path:
-                logger.warning(
-                    f"[BraTS] Inconsistent label_path for case={case_id}. Keep the first."
-                )
-            if not cases[case_id]["label"] and label_path:
-                cases[case_id]["label"] = label_path
-        cases[case_id]["modalities"][mod] = img_path
 
-    valid: Dict[str, Dict[str, Any]] = {}
-    dropped_missing_mod = 0
-    dropped_no_label = 0
-    for case_id, info in cases.items():
-        if any(m not in info["modalities"] for m in required_mods):
-            dropped_missing_mod += 1
+        mods: Dict[str, str] = {}
+        for mod_cell, img_cell in zip(rows[modality_col], rows[img_col]):
+            mods[str(mod_cell).strip().lower()] = resolve_manifest_path(img_cell, root_dir)
+
+        if any(m not in mods for m in wanted):
+            n_incomplete += 1
             continue
-        if drop_unlabeled and not info.get("label"):
-            dropped_no_label += 1
+        if drop_unlabeled and not label:
+            n_unlabeled += 1
             continue
-        valid[case_id] = info
+        records[case_id] = {"split": split, "modalities": mods, "label": label}
 
     logger.info(
-        f"[BraTS] Parsed {csv_path}: total_cases={len(cases)}, valid_cases={len(valid)}, "
-        f"dropped_missing_mod={dropped_missing_mod}, dropped_no_label={dropped_no_label}"
+        f"[BraTS] {csv_path}: kept {len(records)} of "
+        f"{len(records) + n_incomplete + n_unlabeled} cases "
+        f"(dropped {n_incomplete} incomplete-modality, {n_unlabeled} unlabeled)"
     )
-    return valid
+    return records
 
 
 class BratsMultiSourceNiftiDataset:

@@ -17,6 +17,7 @@ Sample layout (TPU-native channels-last):
 from __future__ import annotations
 
 import os
+from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -27,44 +28,39 @@ from ..registry import register_dataset_builder
 from ..utils.config import get_config, require_config
 from ..utils.logger import get_logger
 from .base_builder import BaseDatasetBuilder
+from .manifest import resolve_manifest_path
 from .nifti import DecodedCache, load_canonical_dhw
 from .transforms import get_seg_transforms
 
 
-def _resolve_path(path: Any, root_dir: Optional[str]) -> str:
-    if path is None or (isinstance(path, float) and np.isnan(path)):
-        return ""
-    p = str(path)
-    if root_dir and not os.path.isabs(p):
-        return os.path.join(root_dir, p)
-    return p
-
-
 def _validate_shape(arr: np.ndarray, expected: Optional[Tuple[int, ...]], what: str, case_id: str) -> None:
-    if expected is None:
-        return
-    if tuple(arr.shape) != tuple(expected):
+    """Volumes arrive pre-unified by the offline preprocessing stage; any
+    other shape here means the manifest points at the wrong tree."""
+    if expected is not None and tuple(arr.shape) != tuple(expected):
         raise ValueError(
-            f"[HECKTOR21] Shape mismatch for {what} case={case_id}: got {tuple(arr.shape)}, "
-            f"expected {tuple(expected)}. This dataset assumes OFFLINE preprocessing "
-            f"already unified shape."
+            f"[HECKTOR21] Shape mismatch: {what} of case '{case_id}' is "
+            f"{tuple(arr.shape)} but the configured expected_shape is "
+            f"{tuple(expected)} — check dataset.expected_shape vs the "
+            f"preprocessing output_size."
         )
 
 
 def to_binary_mask(y: np.ndarray) -> np.ndarray:
-    """Coerce {0,1} / {0,255} / nonzero masks to uint8 {0,1}
-    (reference: src/datasets/hecktor21.py:51-63)."""
-    if y.dtype.kind not in ("i", "u"):
-        y = np.rint(y)
-    y = y.astype(np.int16, copy=False)
-    uniq = np.unique(y)
-    if uniq.size == 0:
-        return y.astype(np.uint8, copy=False)
-    if np.all(np.isin(uniq, [0, 1])):
-        return y.astype(np.uint8, copy=False)
-    if np.all(np.isin(uniq, [0, 255])):
-        return (y // 255).astype(np.uint8, copy=False)
-    return (y != 0).astype(np.uint8, copy=False)
+    """Normalize a stored GTVt mask to uint8 {0,1}.
+
+    HECKTOR exports occur in three encodings — {0,1}, {0,255}, and general
+    nonzero-means-foreground — all of which must land on {0,1} (behavioral
+    contract pinned by tests/test_datasets.py::TestBinaryMask; reference
+    semantics: src/datasets/hecktor21.py:51-63).
+    """
+    arr = np.asarray(y)
+    if arr.dtype.kind not in "iu":  # floats (and bools) get rounded first
+        arr = np.rint(arr)
+    arr = arr.astype(np.int16, copy=False)
+    values = set(np.unique(arr).tolist())
+    if values <= {0, 1}:
+        return arr.astype(np.uint8, copy=False)
+    return (arr != 0).astype(np.uint8)  # covers {0,255} and mixed encodings
 
 
 def sample_val_indices_per_center(
@@ -73,22 +69,120 @@ def sample_val_indices_per_center(
     val_per_center: int,
     seed: int,
 ) -> np.ndarray:
-    """Bit-exact port of the reference's val sampling (hecktor21.py:66-89)."""
-    if val_per_center <= 0 or len(df_non_target) == 0:
+    """Draw the per-center validation rows.
+
+    RNG-consumption-compatible with the CPU reference so splits are
+    bit-identical for identical manifests (SURVEY.md §7.3 hard-part 6):
+    one shared ``np.random.RandomState(seed)`` visits the non-target centers
+    in sorted (uppercased) order and draws ``min(val_per_center, n_center)``
+    row labels without replacement from each. Returns the chosen pandas row
+    labels as int64.
+    """
+    if val_per_center <= 0 or df_non_target.empty:
         return np.array([], dtype=np.int64)
 
+    codes = df_non_target[center_code_col].astype(str).str.upper()
     rng = np.random.RandomState(seed)
-    val_indices: List[int] = []
-    centers = sorted(df_non_target[center_code_col].astype(str).str.upper().unique().tolist())
-    for c in centers:
-        d = df_non_target[df_non_target[center_code_col].astype(str).str.upper() == c]
-        idxs = d.index.to_numpy()
-        if idxs.size == 0:
-            continue
-        k = min(val_per_center, int(idxs.size))
-        chosen = rng.choice(idxs, size=k, replace=False)
-        val_indices.extend(chosen.tolist())
-    return np.array(val_indices, dtype=np.int64)
+    picks: List[np.ndarray] = []
+    for code in sorted(codes.unique().tolist()):
+        rows = df_non_target.index[codes == code].to_numpy()
+        if rows.size:
+            picks.append(rng.choice(rows, size=min(int(val_per_center), int(rows.size)), replace=False))
+    if not picks:
+        return np.array([], dtype=np.int64)
+    return np.concatenate(picks).astype(np.int64)
+
+
+def build_center_splits(
+    manifest_csv: str,
+    *,
+    target_center: str,
+    val_per_center: int,
+    split_seed: int,
+    drop_unlabeled: bool,
+    required_cols: Sequence[str],
+    label_col: str,
+    status_col: str,
+    ok_status_values: Sequence[str],
+    center_code_col: str,
+) -> Tuple[Dict[str, pd.DataFrame], int]:
+    """Leave-one-center-out partition of the manifest.
+
+    The domain-shift protocol (reference behavior: src/datasets/hecktor21.py
+    159-232, SURVEY.md §0.4): the held-out ``target_center`` becomes the
+    entire test split; every other center contributes training rows except a
+    seeded per-center validation draw. Row filtering happens BEFORE the
+    split in a fixed order — preprocessing status, then label presence —
+    because the validation draw consumes RNG per surviving row set and must
+    stay bit-identical to the CPU reference for the same manifest.
+
+    Returns ({"train","val","test"} -> DataFrame, number of source centers).
+    """
+    if not os.path.exists(manifest_csv):
+        raise FileNotFoundError(f"[HECKTOR21] manifest_csv not found: {manifest_csv}")
+    df = pd.read_csv(manifest_csv)
+
+    missing = [c for c in required_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"[HECKTOR21] manifest lacks required column(s): {missing}")
+    if label_col not in df.columns:
+        df[label_col] = np.nan
+    if status_col not in df.columns:
+        df[status_col] = "ok"
+
+    # keep only rows whose offline preprocessing succeeded
+    ok = df[status_col].astype(str).str.lower().isin({str(v).lower() for v in ok_status_values})
+    df = df[ok].copy()
+    if drop_unlabeled:
+        has_label = df[label_col].notna() & (df[label_col].astype(str) != "")
+        df = df[has_label].copy()
+
+    df[center_code_col] = df[center_code_col].astype(str).str.upper()
+    target = str(target_center).upper().strip()
+    if not target:
+        raise ValueError("[HECKTOR21] target_center cannot be empty")
+
+    is_target = df[center_code_col] == target
+    test_df = df[is_target].copy()
+    source_df = df[~is_target].copy()
+    if test_df.empty:
+        raise ValueError(
+            f"[HECKTOR21] no usable rows for target_center='{target}' — "
+            f"available centers: {sorted(df[center_code_col].unique().tolist())}"
+        )
+    if source_df.empty:
+        raise ValueError(
+            f"[HECKTOR21] every row belongs to target_center='{target}'; "
+            f"nothing left to train on."
+        )
+
+    val_rows = sample_val_indices_per_center(
+        source_df, center_code_col, val_per_center, split_seed
+    )
+    if val_rows.size:
+        val_df = source_df.loc[val_rows].copy()
+        train_df = source_df.drop(index=val_rows).copy()
+    else:
+        val_df = source_df.iloc[:0].copy()
+        train_df = source_df
+
+    splits = {"train": train_df, "val": val_df, "test": test_df}
+    return splits, int(source_df[center_code_col].nunique())
+
+
+@dataclass(frozen=True)
+class ManifestSchema:
+    """Which manifest columns carry what. One object instead of eight
+    constructor knobs; override any field via dataset.* config keys."""
+
+    patient: str = "patient_id"
+    status: str = "status"
+    ok_status_values: Tuple[str, ...] = ("ok",)
+    ct: str = "ct_proc"
+    pt: str = "pt_proc"
+    label: str = "gtvt_proc"
+    center_code: str = "center_code"
+    center_id: str = "center_id"
 
 
 class Hecktor21Dataset:
@@ -104,14 +198,7 @@ class Hecktor21Dataset:
         drop_unlabeled: bool = True,
         strict_label_values: bool = True,
         root_dir: Optional[str] = None,
-        patient_col: str = "patient_id",
-        status_col: str = "status",
-        ok_status_values: Sequence[str] = ("ok",),
-        ct_col: str = "ct_proc",
-        pt_col: str = "pt_proc",
-        label_col: str = "gtvt_proc",
-        center_code_col: str = "center_code",
-        center_id_col: str = "center_id",
+        schema: Optional[ManifestSchema] = None,
         transform: Optional[Callable] = None,
         cache_in_memory: bool = False,
         logger=None,
@@ -128,76 +215,33 @@ class Hecktor21Dataset:
         self.transform = transform
         self._cache = DecodedCache() if cache_in_memory else None
         self._epoch = 0
+        self.schema = sc = schema or ManifestSchema()
 
-        self.patient_col = patient_col
-        self.status_col = status_col
-        self.ok_status_values = [str(x).lower() for x in list(ok_status_values)]
-        self.ct_col = ct_col
-        self.pt_col = pt_col
-        self.label_col = label_col
-        self.center_code_col = center_code_col
-        self.center_id_col = center_id_col
-
-        if not os.path.exists(manifest_csv):
-            raise FileNotFoundError(f"[HECKTOR21] manifest_csv not found: {manifest_csv}")
-        df = pd.read_csv(manifest_csv)
-
-        for c in [patient_col, ct_col, pt_col, center_code_col]:
-            if c not in df.columns:
-                raise ValueError(f"[HECKTOR21] manifest missing required column '{c}'")
-        if label_col not in df.columns:
-            df[label_col] = np.nan
-        if status_col not in df.columns:
-            df[status_col] = "ok"
-
-        # 1) status filter (reference: hecktor21.py:173-174)
-        ok_set = set(self.ok_status_values)
-        df = df[df[status_col].astype(str).str.lower().isin(ok_set)].copy()
-
-        # 2) drop unlabeled
-        if self.drop_unlabeled:
-            df = df[df[label_col].notna() & (df[label_col].astype(str) != "")].copy()
-
-        df[center_code_col] = df[center_code_col].astype(str).str.upper()
-
-        target_center = str(target_center).upper().strip()
-        if target_center == "":
-            raise ValueError("[HECKTOR21] target_center cannot be empty")
-
-        df_target = df[df[center_code_col] == target_center].copy()
-        df_non_target = df[df[center_code_col] != target_center].copy()
-
-        if len(df_target) == 0:
-            raise ValueError(
-                f"[HECKTOR21] target_center='{target_center}' has 0 samples after filtering."
-            )
-        if len(df_non_target) == 0:
-            raise ValueError("[HECKTOR21] non-target set is empty; cannot build train/val.")
-
-        # 3) val sampling per non-target center
-        val_indices = sample_val_indices_per_center(
-            df_non_target, center_code_col, int(val_per_center), int(split_seed)
+        splits, n_other_centers = build_center_splits(
+            manifest_csv,
+            target_center=target_center,
+            val_per_center=int(val_per_center),
+            split_seed=int(split_seed),
+            drop_unlabeled=self.drop_unlabeled,
+            required_cols=(sc.patient, sc.ct, sc.pt, sc.center_code),
+            label_col=sc.label,
+            status_col=sc.status,
+            ok_status_values=[str(x).lower() for x in sc.ok_status_values],
+            center_code_col=sc.center_code,
         )
-        if val_indices.size > 0:
-            df_val = df_non_target.loc[val_indices].copy()
-            df_train = df_non_target.drop(index=val_indices).copy()
-        else:
-            df_val = df_non_target.iloc[0:0].copy()
-            df_train = df_non_target.copy()
-
-        d_use = {"test": df_target, "val": df_val, "train": df_train}[self.split]
-        if len(d_use) == 0:
+        chosen = splits[self.split]
+        if chosen.empty:
             raise ValueError(
-                f"[HECKTOR21] split='{self.split}' is empty "
+                f"[HECKTOR21] No rows land in split '{self.split}' "
                 f"(target_center={target_center}, val_per_center={val_per_center})."
             )
 
-        self._rows: List[Dict[str, Any]] = [row.to_dict() for _, row in d_use.iterrows()]
+        self._rows: List[Dict[str, Any]] = chosen.to_dict(orient="records")
         self.logger.info(
-            f"[HECKTOR21] split='{self.split}' n={len(self._rows)} | "
-            f"target_center={target_center} | "
-            f"non_target_centers={df_non_target[center_code_col].nunique()} | "
-            f"val_per_center={val_per_center} seed={split_seed}"
+            f"[HECKTOR21] {self.split}: {len(self._rows)} cases "
+            f"(target={str(target_center).upper().strip()}, "
+            f"{n_other_centers} source centers, "
+            f"val_per_center={val_per_center}, split_seed={split_seed})"
         )
 
     def set_epoch(self, epoch: int) -> None:
@@ -206,52 +250,60 @@ class Hecktor21Dataset:
     def __len__(self) -> int:
         return len(self._rows)
 
+    # -- per-sample assembly -------------------------------------------------
+
+    def _file_of(self, info: Dict[str, Any], column: str, kind: str, case_id: str,
+                 required: bool = True) -> str:
+        p = resolve_manifest_path(info.get(column, ""), self.root_dir)
+        if required and not (p and os.path.exists(p)):
+            raise FileNotFoundError(
+                f"[HECKTOR21] {kind} volume missing on disk for case '{case_id}': {p!r}"
+            )
+        return p
+
+    def _decode(self, path: str) -> np.ndarray:
+        # fused native decode straight to (D,H,W)=(Z,Y,X)
+        if self._cache is not None:
+            return self._cache.get_or_load(path)
+        return load_canonical_dhw(path)
+
+    def _load_label(self, lb_path: str, like: np.ndarray, exp_dhw, case_id: str) -> np.ndarray:
+        if not (lb_path and os.path.exists(lb_path)):
+            return np.zeros(like.shape, dtype=np.uint8)  # unlabeled target case
+        raw = self._decode(lb_path)
+        _validate_shape(raw, exp_dhw, "label", case_id)
+        return to_binary_mask(raw)
+
     def __getitem__(self, idx: int) -> Dict[str, Any]:
+        sc = self.schema
         info = self._rows[idx]
-        case_id = str(info.get(self.patient_col))
-        center_code = str(info.get(self.center_code_col, "")).upper()
-        center_id = info.get(self.center_id_col, None)
+        case_id = str(info.get(sc.patient))
+        center_code = str(info.get(sc.center_code, "")).upper()
         try:
-            center_id = int(center_id) if (center_id is not None and str(center_id) != "nan") else -1
+            raw_cid = info.get(sc.center_id, None)
+            center_id = int(raw_cid) if (raw_cid is not None and str(raw_cid) != "nan") else -1
         except Exception:
             center_id = -1
 
-        ct_path = _resolve_path(info.get(self.ct_col, ""), self.root_dir)
-        pt_path = _resolve_path(info.get(self.pt_col, ""), self.root_dir)
-        lb_path = _resolve_path(info.get(self.label_col, ""), self.root_dir)
+        ct_path = self._file_of(info, sc.ct, "CT", case_id)
+        pt_path = self._file_of(info, sc.pt, "PET", case_id)
+        lb_path = self._file_of(info, sc.label, "label", case_id, required=self.drop_unlabeled)
 
-        if not os.path.exists(ct_path):
-            raise FileNotFoundError(f"[HECKTOR21] Missing CT file: {ct_path} (case={case_id})")
-        if not os.path.exists(pt_path):
-            raise FileNotFoundError(f"[HECKTOR21] Missing PET file: {pt_path} (case={case_id})")
-        if self.drop_unlabeled and ((not lb_path) or (not os.path.exists(lb_path))):
-            raise FileNotFoundError(f"[HECKTOR21] Missing label file: {lb_path} (case={case_id})")
-
-        # fused native decode straight to (D,H,W)=(Z,Y,X)
-        load = self._cache.get_or_load if self._cache is not None else load_canonical_dhw
-        ct = load(ct_path)
-        pt = load(pt_path)
         exp_dhw = self.expected_shape[::-1] if self.expected_shape else None
+        ct = self._decode(ct_path)
+        pt = self._decode(pt_path)
         _validate_shape(ct, exp_dhw, "ct", case_id)
         _validate_shape(pt, exp_dhw, "pt", case_id)
-
         image = np.stack([ct, pt], axis=-1)  # [D,H,W,2]
 
-        if (not lb_path) or (not os.path.exists(lb_path)):
-            y_np = np.zeros(ct.shape, dtype=np.uint8)
-        else:
-            y = load(lb_path)
-            _validate_shape(y, exp_dhw, "label", case_id)
-            y_np = to_binary_mask(y)
-
-        label = y_np[..., None].astype(np.float32)  # [D,H,W,1]
-
+        mask = self._load_label(lb_path, ct, exp_dhw, case_id)
+        label = mask[..., None].astype(np.float32)  # [D,H,W,1]
         if self.strict_label_values:
-            uniq = np.unique(label)
-            bad = [v for v in uniq.tolist() if v not in (0.0, 1.0)]
-            if bad:
+            observed = set(np.unique(label).tolist())
+            if not observed <= {0.0, 1.0}:
                 raise ValueError(
-                    f"[HECKTOR21] Label must be binary {{0,1}}. got={uniq.tolist()} (case={case_id})"
+                    f"[HECKTOR21] case '{case_id}': mask values {sorted(observed)} "
+                    f"are not binary after coercion"
                 )
 
         if self.transform is not None:
@@ -285,14 +337,19 @@ class Hecktor21Builder(BaseDatasetBuilder):
         self.drop_unlabeled = bool(get_config(dcfg, "drop_unlabeled", True))
         self.strict_label_values = bool(get_config(dcfg, "strict_label_values", True))
 
-        self.patient_col = str(get_config(dcfg, "patient_col", "patient_id"))
-        self.status_col = str(get_config(dcfg, "status_col", "status"))
-        self.ok_status_values = list(get_config(dcfg, "ok_status_values", ["ok"]))
-        self.ct_col = str(get_config(dcfg, "ct_col", "ct_proc"))
-        self.pt_col = str(get_config(dcfg, "pt_col", "pt_proc"))
-        self.label_col = str(get_config(dcfg, "label_col", "gtvt_proc"))
-        self.center_code_col = str(get_config(dcfg, "center_code_col", "center_code"))
-        self.center_id_col = str(get_config(dcfg, "center_id_col", "center_id"))
+        defaults = ManifestSchema()
+        self.schema = ManifestSchema(
+            patient=str(get_config(dcfg, "patient_col", defaults.patient)),
+            status=str(get_config(dcfg, "status_col", defaults.status)),
+            ok_status_values=tuple(
+                str(x) for x in get_config(dcfg, "ok_status_values", list(defaults.ok_status_values))
+            ),
+            ct=str(get_config(dcfg, "ct_col", defaults.ct)),
+            pt=str(get_config(dcfg, "pt_col", defaults.pt)),
+            label=str(get_config(dcfg, "label_col", defaults.label)),
+            center_code=str(get_config(dcfg, "center_code_col", defaults.center_code)),
+            center_id=str(get_config(dcfg, "center_id_col", defaults.center_id)),
+        )
         self.root_dir = get_config(dcfg, "root_dir", None)
 
         self.cache_in_memory = bool(get_config(dcfg, "cache_in_memory", False))
@@ -351,14 +408,7 @@ class Hecktor21Builder(BaseDatasetBuilder):
                 overrides.get("strict_label_values", self.strict_label_values)
             ),
             root_dir=overrides.get("root_dir", self.root_dir),
-            patient_col=self.patient_col,
-            status_col=self.status_col,
-            ok_status_values=self.ok_status_values,
-            ct_col=self.ct_col,
-            pt_col=self.pt_col,
-            label_col=self.label_col,
-            center_code_col=self.center_code_col,
-            center_id_col=self.center_id_col,
+            schema=self.schema,
             transform=transform,
             cache_in_memory=bool(overrides.get("cache_in_memory", self.cache_in_memory)),
             logger=self.logger,

@@ -24,11 +24,18 @@ def make_hecktor_fixture(
     centers: Dict[str, int] = None,
     shape: Tuple[int, int, int] = (12, 12, 6),  # (X,Y,Z)
     seed: int = 0,
+    n_lesions: Tuple[int, int] = (1, 1),
+    radius_range: Tuple[float, float] = (3.0, 3.0),
+    lesion_contrast: Tuple[float, float] = (300.0, 6.0),  # (CT HU, PET SUV) bump
 ) -> str:
     """Create a synthetic HECKTOR21 processed tree + manifest.csv.
 
-    Returns the manifest path. Volumes contain a ball-ish GTVt region so Dice
-    is learnable; CT in HU-ish range, PET in SUV-ish range.
+    Returns the manifest path. Volumes contain ellipsoidal GTVt lesions so
+    Dice is learnable; CT in HU-ish range, PET in SUV-ish range. Defaults
+    produce one fixed-size ball per case (the cheap test fixture); pass
+    ``n_lesions``/``radius_range`` spans for a harder model-comparison task
+    (small lesions punish resolution loss, multiple lesions punish
+    under-segmentation).
     """
     centers = centers or {"CHUS": 4, "CHUM": 4, "CHGJ": 3}
     rng = np.random.RandomState(seed)
@@ -38,19 +45,23 @@ def make_hecktor_fixture(
     os.makedirs(lab_dir, exist_ok=True)
 
     affine = np.diag([1.0, 1.0, 3.0, 1.0])
+    X, Y, Z = np.meshgrid(*(np.arange(s) for s in shape), indexing="ij")
     rows = []
     for center, n in centers.items():
         for i in range(n):
             pid = f"{center}{i:03d}"
             ct = rng.randn(*shape).astype(np.float32) * 200.0
             pt = np.abs(rng.randn(*shape)).astype(np.float32) * 4.0
-            # ball mask at a random center
-            cx, cy, cz = (rng.randint(2, s - 2) for s in shape)
-            X, Y, Z = np.meshgrid(*(np.arange(s) for s in shape), indexing="ij")
-            mask = (((X - cx) ** 2 + (Y - cy) ** 2 + ((Z - cz) * 2) ** 2) < 9).astype(np.uint8)
+            mask = np.zeros(shape, dtype=np.uint8)
+            for _ in range(rng.randint(n_lesions[0], n_lesions[1] + 1)):
+                r = rng.uniform(*radius_range)
+                cx, cy, cz = (rng.randint(2, max(s - 2, 3)) for s in shape)
+                # ellipsoid, z squashed 2x (anisotropic spacing)
+                ball = ((X - cx) ** 2 + (Y - cy) ** 2 + ((Z - cz) * 2.0) ** 2) < r * r
+                mask |= ball.astype(np.uint8)
             # make the tumor visible in both modalities
-            ct = ct + mask * 300.0
-            pt = pt + mask * 6.0
+            ct = ct + mask * lesion_contrast[0]
+            pt = pt + mask * lesion_contrast[1]
 
             ct_p = os.path.join(img_dir, f"{pid}_ct.nii.gz")
             pt_p = os.path.join(img_dir, f"{pid}_pt.nii.gz")
