@@ -166,6 +166,8 @@ class SegTrainer(TrainerBase):
                 )
 
     def _wrap_loader(self, loader):
+        if getattr(loader, "device_resident", False):
+            return loader  # batches already live on device (DeviceCachedLoader)
         from ...data.prefetch import prefetch_to_device
 
         return prefetch_to_device(
