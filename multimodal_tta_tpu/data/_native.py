@@ -82,8 +82,75 @@ def available() -> bool:
     return get_lib() is not None
 
 
+# ---------------------------------------------------------------------------
+# libdeflate (system library, ~2-3x faster inflate than zlib when present)
+# ---------------------------------------------------------------------------
+_ld_lib = None
+_ld_tried = False
+
+
+def _get_libdeflate() -> Optional[ctypes.CDLL]:
+    global _ld_lib, _ld_tried
+    if _ld_lib is not None or _ld_tried:
+        return _ld_lib
+    with _lock:
+        if _ld_lib is not None or _ld_tried:
+            return _ld_lib
+        _ld_tried = True
+        for name in ("libdeflate.so.0", "libdeflate.so", "libdeflate.so.1"):
+            try:
+                lib = ctypes.CDLL(name)
+                lib.libdeflate_alloc_decompressor.restype = ctypes.c_void_p
+                lib.libdeflate_gzip_decompress.restype = ctypes.c_int
+                lib.libdeflate_gzip_decompress.argtypes = [
+                    ctypes.c_void_p,
+                    ctypes.c_char_p,
+                    ctypes.c_size_t,
+                    ctypes.c_void_p,
+                    ctypes.c_size_t,
+                    ctypes.POINTER(ctypes.c_size_t),
+                ]
+                lib.libdeflate_free_decompressor.argtypes = [ctypes.c_void_p]
+                _ld_lib = lib
+                break
+            except OSError:
+                continue
+    return _ld_lib
+
+
+def _gunzip_libdeflate(data: bytes, expected_size: int) -> Optional[bytes]:
+    lib = _get_libdeflate()
+    if lib is None:
+        return None
+    dec = lib.libdeflate_alloc_decompressor()
+    if not dec:
+        return None
+    try:
+        cap = max(int(expected_size), 1024)
+        for _ in range(10):
+            out = ctypes.create_string_buffer(cap)
+            actual = ctypes.c_size_t(0)
+            rc = lib.libdeflate_gzip_decompress(
+                dec, data, len(data), out, cap, ctypes.byref(actual)
+            )
+            if rc == 0:  # LIBDEFLATE_SUCCESS
+                return out.raw[: actual.value]
+            if rc == 3:  # LIBDEFLATE_INSUFFICIENT_SPACE
+                cap *= 4
+                continue
+            return None
+        return None
+    finally:
+        lib.libdeflate_free_decompressor(dec)
+
+
 def gunzip(data: bytes, expected_size: int) -> Optional[bytes]:
-    """Inflate a gzip byte string with the native core; None on failure."""
+    """Inflate a gzip byte string; libdeflate when available (fastest), else
+    the native zlib core; None when neither is usable (caller falls back to
+    the stdlib gzip path). ctypes releases the GIL for the whole inflate."""
+    out = _gunzip_libdeflate(data, expected_size)
+    if out is not None:
+        return out
     lib = get_lib()
     if lib is None:
         return None

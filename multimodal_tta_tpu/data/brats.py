@@ -26,7 +26,7 @@ from ..utils.config import get_config, require_config
 from ..utils.logger import get_logger
 from .base_builder import BaseDatasetBuilder
 from .manifest import resolve_manifest_path
-from .nifti import DecodedCache, load_canonical_dhw
+from .nifti import DecodedCache, DiskDecodedCache, load_canonical_dhw
 from .transforms import get_seg_transforms
 
 REGION_ORDER: List[str] = ["ET", "TC", "WT"]
@@ -168,6 +168,7 @@ class BratsMultiSourceNiftiDataset:
         logger=None,
         strict_label_values: bool = False,
         cache_in_memory: bool = False,
+        decode_cache_dir: Optional[str] = None,
     ):
         self.logger = logger or get_logger()
         self.split = str(split).lower()
@@ -176,7 +177,11 @@ class BratsMultiSourceNiftiDataset:
         self.drop_unlabeled = bool(drop_unlabeled)
         self.transform = transform
         self.strict_label_values = bool(strict_label_values)
-        self._cache = DecodedCache() if cache_in_memory else None
+        self._cache = (
+            DecodedCache()
+            if cache_in_memory
+            else (DiskDecodedCache(decode_cache_dir) if decode_cache_dir else None)
+        )
         self._epoch = 0
 
         self._index: List[Tuple[SourceSpec, str, Dict[str, Any]]] = []
@@ -288,6 +293,7 @@ class BratsMultiNiftiBuilder(BaseDatasetBuilder):
         self.expected_shape = tuple(exp_shape) if exp_shape is not None else None
         self.strict_label_values = bool(get_config(dcfg, "strict_label_values", False))
         self.cache_in_memory = bool(get_config(dcfg, "cache_in_memory", False))
+        self.decode_cache_dir = get_config(dcfg, "decode_cache_dir", None)
 
         sources_cfg = get_config(dcfg, "sources", None)
         if sources_cfg is None:
@@ -394,4 +400,5 @@ class BratsMultiNiftiBuilder(BaseDatasetBuilder):
                 overrides.get("strict_label_values", self.strict_label_values)
             ),
             cache_in_memory=bool(overrides.get("cache_in_memory", self.cache_in_memory)),
+            decode_cache_dir=overrides.get("decode_cache_dir", self.decode_cache_dir),
         )

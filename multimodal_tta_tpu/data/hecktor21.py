@@ -29,7 +29,7 @@ from ..utils.config import get_config, require_config
 from ..utils.logger import get_logger
 from .base_builder import BaseDatasetBuilder
 from .manifest import resolve_manifest_path
-from .nifti import DecodedCache, load_canonical_dhw
+from .nifti import DecodedCache, DiskDecodedCache, load_canonical_dhw
 from .transforms import get_seg_transforms
 
 
@@ -201,6 +201,7 @@ class Hecktor21Dataset:
         schema: Optional[ManifestSchema] = None,
         transform: Optional[Callable] = None,
         cache_in_memory: bool = False,
+        decode_cache_dir: Optional[str] = None,
         logger=None,
     ):
         self.logger = logger or get_logger()
@@ -213,7 +214,11 @@ class Hecktor21Dataset:
         self.strict_label_values = bool(strict_label_values)
         self.root_dir = root_dir
         self.transform = transform
-        self._cache = DecodedCache() if cache_in_memory else None
+        self._cache = (
+            DecodedCache()
+            if cache_in_memory
+            else (DiskDecodedCache(decode_cache_dir) if decode_cache_dir else None)
+        )
         self._epoch = 0
         self.schema = sc = schema or ManifestSchema()
 
@@ -353,6 +358,7 @@ class Hecktor21Builder(BaseDatasetBuilder):
         self.root_dir = get_config(dcfg, "root_dir", None)
 
         self.cache_in_memory = bool(get_config(dcfg, "cache_in_memory", False))
+        self.decode_cache_dir = get_config(dcfg, "decode_cache_dir", None)
         self.target_center = str(require_config(dcfg, "target_center", type_=str))
         self.val_per_center = int(get_config(dcfg, "val_per_center", 5))
         self.split_seed = int(get_config(dcfg, "split_seed", 2026))
@@ -411,5 +417,6 @@ class Hecktor21Builder(BaseDatasetBuilder):
             schema=self.schema,
             transform=transform,
             cache_in_memory=bool(overrides.get("cache_in_memory", self.cache_in_memory)),
+            decode_cache_dir=overrides.get("decode_cache_dir", self.decode_cache_dir),
             logger=self.logger,
         )

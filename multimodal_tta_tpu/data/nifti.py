@@ -385,6 +385,50 @@ class DecodedCache:
         return arr
 
 
+class DiskDecodedCache:
+    """Persistent pre-decoded volume cache (MONAI-PersistentDataset analogue).
+
+    First access decodes the NIfTI and writes the canonical (D,H,W) float32
+    array as a raw ``.npy`` next to nothing else in ``cache_dir`` (atomic
+    tmp+rename, keyed by source path+mtime+size so stale entries self-bust);
+    later accesses are a plain file read — on a warm page cache that is
+    memcpy speed, vs ~20 ms/volume of gzip inflate. Enabled per dataset via
+    ``dataset.decode_cache_dir``. Safe under concurrent readers/writers
+    (worst case two threads both decode and one rename wins).
+    """
+
+    def __init__(self, cache_dir: str):
+        import hashlib
+
+        self.cache_dir = str(cache_dir)
+        os.makedirs(self.cache_dir, exist_ok=True)
+        self._hash = hashlib.sha1
+
+    def _slot(self, path: str) -> str:
+        st = os.stat(path)
+        key = f"{os.path.abspath(path)}:{st.st_mtime_ns}:{st.st_size}"
+        return os.path.join(self.cache_dir, self._hash(key.encode()).hexdigest() + ".npy")
+
+    def get_or_load(self, path: str) -> np.ndarray:
+        slot = self._slot(path)
+        try:
+            return np.load(slot)
+        except (OSError, ValueError):
+            pass  # miss (or torn write from a crashed process): re-decode
+        arr = load_canonical_dhw(path)
+        tmp = slot + f".tmp{os.getpid()}"
+        try:
+            with open(tmp, "wb") as f:
+                np.save(f, arr)
+            os.replace(tmp, slot)
+        except OSError:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+        return arr
+
+
 def load_canonical_dhw(path: str) -> np.ndarray:
     """Load + canonicalize + return float32 in (D,H,W) = (Z,Y,X) order — the
     layout the datasets feed to the device.
@@ -423,8 +467,13 @@ def load_canonical_dhw(path: str) -> np.ndarray:
                     if perm_identity:
                         shape = tuple(int(d) for d in h.dim[1:4])
                         flips = [ornt[i, 1] < 0 for i in range(3)]
-                        slope = h.scl_slope if h.scl_slope not in (0.0,) else 1.0
-                        inter = h.scl_inter if h.scl_slope != 0.0 or h.scl_inter != 0.0 else 0.0
+                        # same NIfTI-1 scaling semantics as get_fdata:
+                        # slope==0 / non-finite -> no scaling AT ALL
+                        slope, inter = float(h.scl_slope), float(h.scl_inter)
+                        if slope == 0.0 or not np.isfinite(slope):
+                            slope, inter = 1.0, 0.0
+                        elif not np.isfinite(inter):
+                            inter = 0.0
                         out = _native.cast_reorient_f32(
                             raw[h.vox_offset :],
                             h.datatype,

@@ -248,3 +248,54 @@ class TestRoundtripFuzz:
             np.testing.assert_allclose(
                 img.get_fdata(np.float64), arr.astype(np.float64)
             )
+
+
+class TestDiskDecodedCache:
+    def test_roundtrip_and_hit(self, tmp_path):
+        from multimodal_tta_tpu.data.nifti import DiskDecodedCache, load_canonical_dhw
+
+        arr = _random_img(shape=(6, 5, 4), seed=31)
+        src = str(tmp_path / "v.nii.gz")
+        nifti.save(arr, np.diag([1.0, 1.0, 3.0, 1.0]), src)
+        cache = DiskDecodedCache(str(tmp_path / "cache"))
+
+        first = cache.get_or_load(src)
+        np.testing.assert_array_equal(first, load_canonical_dhw(src))
+        files = [f for f in (tmp_path / "cache").iterdir() if f.suffix == ".npy"]
+        assert len(files) == 1 and not any("tmp" in f.name for f in (tmp_path / "cache").iterdir())
+
+        second = cache.get_or_load(src)
+        np.testing.assert_array_equal(second, first)
+
+    def test_stale_entry_busts_on_rewrite(self, tmp_path):
+        import time as _time
+
+        from multimodal_tta_tpu.data.nifti import DiskDecodedCache
+
+        src = str(tmp_path / "v.nii.gz")
+        cache = DiskDecodedCache(str(tmp_path / "cache"))
+        a = _random_img(shape=(4, 4, 4), seed=1)
+        nifti.save(a, np.eye(4), src)
+        got_a = cache.get_or_load(src)
+        _time.sleep(0.01)
+        b = _random_img(shape=(4, 4, 4), seed=2)
+        nifti.save(b, np.eye(4), src)  # same path, new content
+        got_b = cache.get_or_load(src)
+        assert not np.allclose(got_a, got_b)
+        np.testing.assert_array_equal(got_b, b.transpose(2, 1, 0))
+
+    def test_native_fast_path_scl_slope_zero(self, tmp_path):
+        """load_canonical_dhw (the fused native path) must honor the same
+        slope==0 -> no-scaling rule as get_fdata."""
+        import struct
+
+        from multimodal_tta_tpu.data.nifti import load_canonical_dhw
+
+        arr = np.ones((3, 3, 3), np.int16) * 10
+        p = str(tmp_path / "s0n.nii")
+        nifti.save(arr, np.eye(4), p)
+        raw = bytearray(open(p, "rb").read())
+        struct.pack_into("<2f", raw, 112, 0.0, 5.0)  # slope=0, inter=5
+        open(p, "wb").write(bytes(raw))
+        out = load_canonical_dhw(p)
+        assert np.allclose(out, 10.0)  # NOT 15
