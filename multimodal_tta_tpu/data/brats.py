@@ -295,79 +295,67 @@ class BratsMultiNiftiBuilder(BaseDatasetBuilder):
         self.cache_in_memory = bool(get_config(dcfg, "cache_in_memory", False))
         self.decode_cache_dir = get_config(dcfg, "decode_cache_dir", None)
 
-        sources_cfg = get_config(dcfg, "sources", None)
-        if sources_cfg is None:
+        raw_sources = get_config(dcfg, "sources", None)
+        if raw_sources is None:
             raise ValueError("[brats] 'dataset.sources' is required for multi-source loading.")
-
-        self.sources: List[SourceSpec] = []
-        for sc in sources_cfg:
-            sname = str(require_config(sc, "name", type_=str))
-            csv_path = str(require_config(sc, "csv_path", type_=str))
-            profile = str(get_config(sc, "profile", "gli")).lower()
-            root_dir = get_config(sc, "root_dir", None)
-
-            inc = get_config(sc, "include_splits", ConfigNode())
-            if hasattr(inc, "to_container"):
-                inc = inc.to_container()
-            include_splits = {
-                str(k).lower(): [str(v).lower() for v in list(vals)] for k, vals in dict(inc).items()
-            }
-            include_splits.setdefault("train", ["train"])
-            include_splits.setdefault("val", ["val"])
-            include_splits.setdefault("test", ["test"])
-
-            region_map = DEFAULT_REGION_MAPS.get(profile, DEFAULT_REGION_MAPS["gli"])
-            rm_override = get_config(sc, "region_map", None)
-            if rm_override is not None:
-                if hasattr(rm_override, "to_container"):
-                    rm_override = rm_override.to_container()
-                region_map = {k: [int(x) for x in list(v)] for k, v in dict(rm_override).items()}
-            else:
-                region_map = {k: [int(x) for x in list(v)] for k, v in region_map.items()}
-
-            self.sources.append(
-                SourceSpec(
-                    name=sname,
-                    csv_path=csv_path,
-                    profile=profile,
-                    root_dir=root_dir,
-                    include_splits=include_splits,
-                    region_map=region_map,
-                )
-            )
-
+        self.sources: List[SourceSpec] = [self._source_from_config(node) for node in raw_sources]
         self.modality_order = ("t1n", "t1c", "t2w", "t2f")
+
+    @staticmethod
+    def _source_from_config(node) -> SourceSpec:
+        """One ``dataset.sources[i]`` entry -> an immutable SourceSpec."""
+
+        def as_plain(x):
+            return x.to_container() if hasattr(x, "to_container") else x
+
+        tumor_profile = str(get_config(node, "profile", "gli")).lower()
+
+        # split routing: lowercase everything; absent splits route to themselves
+        routing = {
+            str(k).lower(): [str(v).lower() for v in list(vals)]
+            for k, vals in dict(as_plain(get_config(node, "include_splits", ConfigNode()))).items()
+        }
+        for canonical in ("train", "val", "test"):
+            routing.setdefault(canonical, [canonical])
+
+        # raw-id -> region taxonomy: explicit override beats the profile default
+        taxonomy = as_plain(get_config(node, "region_map", None))
+        if taxonomy is None:
+            taxonomy = DEFAULT_REGION_MAPS.get(tumor_profile, DEFAULT_REGION_MAPS["gli"])
+        taxonomy = {region: [int(v) for v in list(ids)] for region, ids in dict(taxonomy).items()}
+
+        return SourceSpec(
+            name=str(require_config(node, "name", type_=str)),
+            csv_path=str(require_config(node, "csv_path", type_=str)),
+            profile=tumor_profile,
+            root_dir=get_config(node, "root_dir", None),
+            include_splits=routing,
+            region_map=taxonomy,
+        )
 
     def build_transform(self, split_norm: str):
         tcfg = get_config(self.config, "training.data.transforms", ConfigNode())
-        normalize = bool(require_config(tcfg, "normalize"))
-        geom_aug = bool(require_config(tcfg, "geom_aug"))
-        intensity_aug = bool(require_config(tcfg, "intensity_aug"))
-        mean = get_config(tcfg, "mean", [0.0, 0.0, 0.0, 0.0])
-        std = get_config(tcfg, "std", [1.0, 1.0, 1.0, 1.0])
-        intensity_policy = get_config(tcfg, "intensity_policy", None)
-        on_device = bool(get_config(tcfg, "on_device", False))
 
-        image_size = get_config(tcfg, "image_size", None)
-        if image_size is not None:
-            if len(list(image_size)) != 3:
+        crop = get_config(tcfg, "image_size", None)
+        if crop is not None:
+            crop = [int(x) for x in list(crop)]
+            if len(crop) != 3:
                 raise ValueError("[brats] training.data.transforms.image_size must be [D,H,W]")
-            image_size = [int(x) for x in list(image_size)]
 
         return get_seg_transforms(
             ndim=3,
             split=split_norm,
-            normalize=normalize,
-            geom_aug=geom_aug,
-            intensity_aug=intensity_aug,
-            mean=mean,
-            std=std,
+            # the three aug/normalize switches are REQUIRED in config — the
+            # task yaml must take an explicit position on each
+            **{k: bool(require_config(tcfg, k)) for k in ("normalize", "geom_aug", "intensity_aug")},
+            mean=get_config(tcfg, "mean", [0.0] * 4),
+            std=get_config(tcfg, "std", [1.0] * 4),
             expected_label_channels=EXPECTED_REGION_CHANNELS,
             region_label_as_float=True,
-            image_size=image_size,
-            intensity_policy=intensity_policy,
+            image_size=crop,
+            intensity_policy=get_config(tcfg, "intensity_policy", None),
             channel_names=list(self.modality_order),
-            on_device=on_device,
+            on_device=bool(get_config(tcfg, "on_device", False)),
         )
 
     def build_dataset(self, split: str, **overrides) -> Optional[BratsMultiSourceNiftiDataset]:

@@ -109,6 +109,18 @@ class HostLoader:
         stop = threading.Event()
         SENTINEL = object()
 
+        def put_or_abort(item) -> bool:
+            """Bounded put that gives up when the consumer abandoned the
+            epoch — otherwise a full queue would park this thread (and its
+            worker pool) in q.put forever."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
@@ -116,10 +128,11 @@ class HostLoader:
                         if stop.is_set():
                             return
                         samples = list(pool.map(lambda i: self.dataset[int(i)], idxs))
-                        q.put(self.collate_fn(samples))
-                q.put(SENTINEL)
+                        if not put_or_abort(self.collate_fn(samples)):
+                            return
+                put_or_abort(SENTINEL)
             except BaseException as e:  # propagate into consumer
-                q.put(e)
+                put_or_abort(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

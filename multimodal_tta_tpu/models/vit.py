@@ -6,19 +6,37 @@ wrapper extracts the CLS token before the head and returns (features, logits)
 (vit.py:150-161) — same contract here.
 
 TPU-first: attention and MLP in the configured compute dtype; sequence length
-is static (fixed image_size // patch).
+is static (fixed image_size // patch). Long token sequences shard over the
+mesh ``space`` axis (sequence parallelism): set ``seq_shard_axis="space"`` and
+run under ``jax.set_mesh`` — the token axis is pinned to the space axis with
+sharding constraints and XLA's SPMD partitioner inserts the attention
+collectives (K/V all-gathers ride ICI). Single-chip / no-mesh runs degrade to
+the unconstrained layout automatically.
 """
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.sharding import PartitionSpec
 
 from ..registry import register_model
 from ..utils.config import get_config
 from .resnet import _VariantFactory
+
+
+def _maybe_shard_seq(x: jnp.ndarray, axis: Optional[str]) -> jnp.ndarray:
+    """Constrain [B, N, H] tokens to shard N over mesh axis ``axis`` when an
+    ambient mesh carrying that axis exists; no-op otherwise."""
+    if not axis:
+        return x
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or axis not in (getattr(mesh, "axis_names", None) or ()):
+        return x
+    return jax.lax.with_sharding_constraint(x, PartitionSpec(None, axis, None))
 
 _SPECS = {
     # (patch, hidden, depth, heads, mlp_dim)
@@ -58,6 +76,7 @@ class ViT(nn.Module):
     image_size: int = 224
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    seq_shard_axis: Optional[str] = None  # mesh axis for sequence parallelism
 
     @classmethod
     def from_config(cls, cfg, **overrides):
@@ -66,6 +85,7 @@ class ViT(nn.Module):
             num_classes=int(get_config(cfg, "num_classes", 1000)),
             image_size=int(get_config(cfg, "image_size", 224)),
             dropout=float(get_config(cfg, "dropout", 0.0)),
+            seq_shard_axis=get_config(cfg, "seq_shard_axis", None),
         )
         kw.update(overrides)
         kw.pop("remat", None)
@@ -88,8 +108,10 @@ class ViT(nn.Module):
         pos = self.param("pos_embed", nn.initializers.normal(0.02), (1, n, hidden))
         x = x + pos.astype(self.dtype)
 
+        x = _maybe_shard_seq(x, self.seq_shard_axis)
         for i in range(depth):
             x = EncoderBlock(hidden, heads, mlp_dim, self.dropout, dtype=self.dtype, name=f"block{i}")(x, train=train)
+            x = _maybe_shard_seq(x, self.seq_shard_axis)
 
         x = nn.LayerNorm(dtype=self.dtype, name="final_ln")(x)
         cls = x[:, 0].astype(jnp.float32)  # CLS token features

@@ -45,17 +45,40 @@ from ..utils.logger import get_logger
 def norm_param_mask(params) -> Any:
     """True for normalization-layer affine parameters.
 
-    Matches the framework's layer naming (Norm submodules are named ``n``/
-    ``norm``; see models/layers.py): a param is a norm param when any path
-    component is 'n', 'norm', or contains 'norm' but not 'conv'/'dense'.
+    Classification is STRUCTURAL, not name-based: every flax normalization
+    layer (GroupNorm — incl. the instance-norm configuration — LayerNorm,
+    BatchNorm, RMSNorm) stores its learnables as a module node whose params
+    are exactly a 1-D ``scale`` and/or 1-D ``bias`` and nothing else. Any
+    weight-carrying module fails that signature (conv/dense nodes also hold
+    ``kernel``; PReLU holds ``negative_slope``), so models with arbitrary
+    submodule names classify correctly — no naming convention required
+    (round-1 review weak #7; the reference's torch version keys off
+    ``isinstance(m, BatchNorm)``, this is the pytree equivalent).
     """
+    from collections.abc import Mapping
+
+    affine_leaves = {"scale", "bias"}
+    norm_nodes = set()
+
+    def collect(node, path):
+        if not isinstance(node, Mapping):
+            return
+        keys = {str(k) for k in node.keys()}
+        if (
+            keys
+            and keys <= affine_leaves
+            and all(getattr(node[k], "ndim", None) == 1 for k in node)
+        ):
+            norm_nodes.add(path)
+            return
+        for k, v in node.items():
+            collect(v, path + (str(k),))
+
+    collect(params, ())
 
     def is_norm(path) -> bool:
-        comps = [str(getattr(p, "key", p)).lower() for p in path]
-        for c in comps[:-1]:  # exclude the leaf name (scale/bias/kernel)
-            if c == "n" or c == "norm" or c.endswith("_norm") or c.startswith("norm"):
-                return True
-        return False
+        comps = tuple(str(getattr(p, "key", p)) for p in path[:-1])
+        return comps in norm_nodes
 
     return jax.tree_util.tree_map_with_path(lambda p, l: is_norm(p), params)
 

@@ -90,6 +90,37 @@ class TestViT:
         with pytest.raises(ValueError, match="not divisible"):
             m.init(rng_key, jnp.zeros((1, 30, 30, 3)))
 
+    def test_sequence_parallel_matches_unsharded(self, rng_key):
+        """seq_shard_axis='space': token axis shards over the mesh space axis
+        (XLA inserts the attention collectives); results match the
+        single-device layout."""
+        from multimodal_tta_tpu.parallel.mesh import make_mesh
+
+        cfg = ConfigNode({"num_classes": 3, "image_size": 64})
+        plain = get_model("vit_b_16").from_config(cfg)
+        sharded = get_model("vit_b_16").from_config(cfg, seq_shard_axis="space")
+
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3), jnp.float32)
+        v = plain.init(rng_key, x, train=False)
+        ref_feats, ref_logits = plain.apply(v, x, train=False)
+
+        mesh = make_mesh(jax.devices()[:8], data=2, space=4)
+        with jax.set_mesh(mesh):
+            feats, logits = jax.jit(
+                lambda v, x: sharded.apply(v, x, train=False)
+            )(v, x)
+        np.testing.assert_allclose(np.asarray(feats), np.asarray(ref_feats), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits), atol=2e-5)
+
+    def test_seq_shard_axis_without_mesh_is_noop(self, rng_key):
+        m = get_model("vit_b_16").from_config(
+            ConfigNode({"num_classes": 3, "image_size": 32}), seq_shard_axis="space"
+        )
+        x = jnp.zeros((1, 32, 32, 3))
+        v = m.init(rng_key, x, train=False)
+        feats, _ = m.apply(v, x, train=False)
+        assert feats.shape == (1, 768)
+
 
 class TestEfficientNet:
     def test_b0_forward(self, rng_key):

@@ -307,6 +307,39 @@ class TestLoader:
         with pytest.raises(RuntimeError, match="boom"):
             list(dl)
 
+    def test_loader_survives_transient_worker_crash(self):
+        """A crash poisons only the epoch it happens in: the same loader
+        instance iterates cleanly afterwards (worker pool + queue are
+        per-__iter__, so no broken state leaks across epochs)."""
+
+        class FlakyOnce(self._ToyDS):
+            def __init__(self, n):
+                super().__init__(n)
+                self.crashed = False
+
+            def __getitem__(self, i):
+                if not self.crashed and i == 1:
+                    self.crashed = True
+                    raise OSError("transient decode failure")
+                return super().__getitem__(i)
+
+        ds = FlakyOnce(6)
+        dl = HostLoader(ds, batch_size=2, num_workers=2)
+        with pytest.raises(OSError, match="transient"):
+            list(dl)
+        batches = [b["x"].tolist() for b in dl]  # next epoch: clean run
+        assert len(batches) == 3
+
+    def test_consumer_break_does_not_deadlock(self):
+        """Abandoning iteration mid-epoch (e.g. early stop) must not hang on
+        the bounded prefetch queue; the producer thread is signalled to stop
+        and the loader can be iterated again."""
+        dl = HostLoader(self._ToyDS(64), batch_size=2, num_workers=2, prefetch_batches=1)
+        it = iter(dl)
+        next(it)
+        del it  # abandon mid-epoch with a full queue
+        assert len([b for b in dl]) == 32  # fresh epoch still works
+
 
 class TestTransformsHost:
     def test_strict_shape_check(self):
