@@ -19,6 +19,16 @@ REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+# Multi-device CPU simulation for CLI runs (XLA_FLAGS env vars are too late in
+# images where sitecustomize pre-imports jax — set the config programmatically
+# before the first backend touch, exactly like tests/conftest.py):
+#   MTTA_NUM_CPU_DEVICES=8 python main.py ...
+if os.environ.get("MTTA_NUM_CPU_DEVICES"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", int(os.environ["MTTA_NUM_CPU_DEVICES"]))
+
 from multimodal_tta_tpu.conf import compose, setup_run_dir
 from multimodal_tta_tpu.utils.logger import setup_logger
 

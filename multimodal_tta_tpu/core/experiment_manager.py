@@ -159,6 +159,7 @@ class ExperimentManager:
                 seed=args["seed"],
                 mesh=self.mesh,
                 num_workers=args["num_workers"],
+                shard_store=bool(get_config(self.config, "training.device_cache_sharded", False)),
                 logger=self.logger,
             )
         else:

@@ -190,7 +190,9 @@ class TrainerBase(ABC):
             h.before_train_epoch()
 
         pbar = tqdm(self._wrap_loader(data_loader), desc=f"Epoch {epoch} [Train]", leave=False)
+        n_batches = 0
         for batch in pbar:
+            n_batches += 1
             for h in self._hooks:
                 h.before_train_step()
 
@@ -202,6 +204,13 @@ class TrainerBase(ABC):
 
             for h in self._hooks:
                 h.after_train_step()
+
+        if n_batches == 0:
+            self.logger.warning(
+                f"Epoch {epoch} produced ZERO training batches — check "
+                f"train_batch_size vs dataset size (drop_last discards any "
+                f"partial batch); no parameters were updated this epoch."
+            )
 
         # drain any asynchronously-pending step metrics (trainers may defer
         # the device->host metric sync by one step to keep the TPU pipelined)

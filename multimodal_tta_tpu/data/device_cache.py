@@ -19,6 +19,19 @@ must re-randomize per epoch); datasets carrying one are rejected at
 construction. Deterministic host transforms are applied during the one-time
 decode; on-device normalization/augmentation stays inside the train jit where
 it re-randomizes per step.
+
+Two store layouts:
+
+- **replicated** (default): every device holds the whole set; any global
+  permutation works and batch order is HostLoader-identical. Right up to a
+  few GB (HECKTOR21 ≈ 1.2 GB f16 vs 16 GB HBM/chip).
+- **sharded** (``shard_store=True``): samples shard over the mesh ``data``
+  axis and each device samples only from its local shard (the distributed-
+  sampler discipline) via a ``shard_map``-wrapped local gather — no
+  collectives, 1/N HBM per chip. Batch COMPOSITION necessarily differs from
+  the replicated/host path (each batch takes batch/N samples per shard), but
+  every sample is seen exactly once per epoch and the per-epoch permutations
+  stay Philox-deterministic.
 """
 
 from __future__ import annotations
@@ -30,9 +43,10 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..utils.logger import get_logger
-from ..parallel.mesh import batch_sharding, data_axis_size, replicated
+from ..parallel.mesh import DATA_AXIS, batch_sharding, data_axis_size, replicated
 
 
 def _rejects_host_random_transform(dataset) -> None:
@@ -76,6 +90,7 @@ class DeviceCachedLoader:
         image_dtype=np.float16,
         label_dtype=np.uint8,
         num_workers: int = 8,
+        shard_store: bool = False,
         logger=None,
         **_ignored: Any,
     ):
@@ -92,6 +107,27 @@ class DeviceCachedLoader:
         n = len(dataset)
         if n == 0:
             raise ValueError("[device_cache] dataset is empty")
+        if self.drop_last and n < self.batch_size:
+            raise ValueError(
+                f"[device_cache] batch_size ({self.batch_size}) exceeds the "
+                f"dataset ({n} cases) with drop_last=True — every epoch would "
+                f"silently train zero steps"
+            )
+
+        self.shard_store = bool(shard_store) and mesh is not None and data_axis_size(mesh) > 1
+        if self.shard_store:
+            shards = data_axis_size(mesh)
+            if self.batch_size % shards:
+                raise ValueError(
+                    f"[device_cache] shard_store needs batch_size ({self.batch_size}) "
+                    f"divisible by the data axis ({shards})"
+                )
+            if not self.drop_last:
+                raise ValueError(
+                    "[device_cache] shard_store requires drop_last=True (a ragged "
+                    "tail would interleave padding inside shard segments, breaking "
+                    "the leading-rows-valid contract of _n_valid)"
+                )
 
         # ---- one-time decode (threaded: NIfTI inflate releases the GIL) ----
         if hasattr(dataset, "set_epoch"):
@@ -103,34 +139,67 @@ class DeviceCachedLoader:
         images = np.stack([np.asarray(s["image"]) for s in samples]).astype(image_dtype)
         labels = np.stack([np.asarray(s["label"]) for s in samples]).astype(label_dtype)
 
-        # ---- stage in HBM, replicated over the mesh ----
-        if mesh is not None:
+        # ---- stage in HBM ----
+        if self.shard_store:
+            # samples shard over the data axis: pad N up to a multiple of the
+            # shard count by WRAPPING (row i pads with real sample i % n, so
+            # padding rows are valid training data, merely re-sampled)
+            shards = data_axis_size(mesh)
+            per_shard = -(-n // shards)
+            self._per_shard = per_shard
+            wrap = np.arange(shards * per_shard) % n
+            store_sh = NamedSharding(mesh, P(DATA_AXIS))
+            self._images = jax.device_put(images[wrap], store_sh)
+            self._labels = jax.device_put(labels[wrap], store_sh)
+            replicas = 1
+        elif mesh is not None:
             rep = replicated(mesh)
             self._images = jax.device_put(images, rep)
             self._labels = jax.device_put(labels, rep)
+            replicas = mesh.size
         else:
             self._images = jax.device_put(images)
             self._labels = jax.device_put(labels)
+            replicas = 1
 
         gib = (images.nbytes + labels.nbytes) / 2**30
         self.logger.info(
-            f"[device_cache] staged {n} cases on device: "
+            f"[device_cache] staged {n} cases on device "
+            f"({'sharded' if self.shard_store else f'{replicas} replica(s)'}): "
             f"image {images.shape} {images.dtype}, label {labels.shape} "
-            f"{labels.dtype} ({gib:.2f} GiB/replica)"
+            f"{labels.dtype} ({gib:.2f} GiB total)"
         )
 
-        # ---- jitted batch gather, output sharded over the data axis ----
-        out_sh = batch_sharding(mesh) if mesh is not None else None
+        # ---- jitted batch gather ----
+        if self.shard_store:
+            # shard-local gather: each device takes its batch rows from ITS
+            # sample block — no cross-device traffic at all
+            def local_gather(store_img, store_lbl, idx):
+                return jnp.take(store_img, idx, axis=0), jnp.take(store_lbl, idx, axis=0)
 
-        def gather(store_img, store_lbl, idx):
-            return jnp.take(store_img, idx, axis=0), jnp.take(store_lbl, idx, axis=0)
+            self._gather = jax.jit(
+                jax.shard_map(
+                    local_gather,
+                    mesh=mesh,
+                    in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+                    out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                )
+            )
+            self._idx_sharding = NamedSharding(mesh, P(DATA_AXIS))
+        else:
+            out_sh = batch_sharding(mesh) if mesh is not None else None
 
-        self._gather = jax.jit(
-            gather, out_shardings=(out_sh, out_sh) if out_sh is not None else None
-        )
+            def gather(store_img, store_lbl, idx):
+                return jnp.take(store_img, idx, axis=0), jnp.take(store_lbl, idx, axis=0)
+
+            self._gather = jax.jit(
+                gather, out_shardings=(out_sh, out_sh) if out_sh is not None else None
+            )
 
     # -- HostLoader-compatible surface --------------------------------------
     def __len__(self) -> int:
+        if self.shard_store:
+            return self._per_shard // (self.batch_size // data_axis_size(self.mesh))
         n = len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
@@ -149,6 +218,9 @@ class DeviceCachedLoader:
     # -----------------------------------------------------------------------
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         self._epoch += 1
+        if self.shard_store:
+            yield from self._iter_sharded(self._epoch)
+            return
         order = self._epoch_order(self._epoch)
         n = len(order)
         bs = self.batch_size
@@ -165,3 +237,27 @@ class DeviceCachedLoader:
                 idxs = np.concatenate([idxs, np.zeros(pad_to - n_valid, idxs.dtype)])
             img, lbl = self._gather(self._images, self._labels, jnp.asarray(idxs, jnp.int32))
             yield {"image": img, "label": lbl, "_n_valid": n_valid}
+
+    def _iter_sharded(self, epoch: int) -> Iterator[Dict[str, Any]]:
+        """Distributed-sampler epoch: each shard draws an independent Philox
+        permutation of its LOCAL rows; batch k concatenates every shard's
+        k-th local slice (the index vector is itself data-sharded, so each
+        segment lands on the device whose rows it names)."""
+        shards = data_axis_size(self.mesh)
+        bsl = self.batch_size // shards
+        m = self._per_shard
+        if self.shuffle:
+            # Philox takes a 2-word key; fold the shard id into the first word
+            perms = [
+                np.random.Generator(
+                    np.random.Philox(key=[self.seed + 0x9E3779B9 * (d + 1), epoch])
+                ).permutation(m)
+                for d in range(shards)
+            ]
+        else:
+            perms = [np.arange(m)] * shards
+        for b in range(m // bsl):
+            local = np.concatenate([p[b * bsl : (b + 1) * bsl] for p in perms])
+            idx = jax.device_put(local.astype(np.int32), self._idx_sharding)
+            img, lbl = self._gather(self._images, self._labels, idx)
+            yield {"image": img, "label": lbl, "_n_valid": self.batch_size}

@@ -109,6 +109,48 @@ class TestDeviceCachedLoader:
         assert not np.allclose(sorted(e0), [0] * len(e0))
         assert not np.allclose(e0, e1)  # different permutation per epoch
 
+    def test_sharded_store_epoch_coverage_and_locality(self, dataset):
+        """shard_store=True: the store shards over the data axis (1/N HBM per
+        device), every real sample appears >=1x per epoch, batches train."""
+        mesh = make_mesh(jax.devices()[:4], data=4)
+        loader = DeviceCachedLoader(
+            dataset, batch_size=4, shuffle=True, drop_last=True, seed=5,
+            mesh=mesh, image_dtype=np.float32, shard_store=True,
+        )
+        # store is genuinely sharded: each device holds per_shard rows
+        n = len(dataset)
+        per_shard = -(-n // 4)
+        for s in loader._images.addressable_shards:
+            assert s.data.shape[0] == per_shard
+        assert len({s.device for s in loader._images.addressable_shards}) == 4
+
+        # an epoch yields batch-sharded device batches covering each shard's
+        # rows exactly once (wrap rows re-sample early cases)
+        seen = []
+        for batch in loader:
+            assert batch["_n_valid"] == 4
+            shards = batch["image"].addressable_shards
+            assert len({s.device for s in shards}) == 4
+            seen.append(np.asarray(batch["image"]).astype(np.float64).sum())
+        assert len(seen) == len(loader) == per_shard  # bsl = 1
+        # a second epoch reshuffles
+        seen2 = [np.asarray(b["image"]).astype(np.float64).sum() for b in loader]
+        assert not np.allclose(seen, seen2)
+
+        # training steps run on the sharded batches
+        t = make_trainer(mesh)
+        losses = run_epochs(t, loader, epochs=1)
+        assert losses and all(np.isfinite(l) for l in losses)
+
+    def test_sharded_store_requires_drop_last_and_divisibility(self, dataset):
+        mesh = make_mesh(jax.devices()[:4], data=4)
+        with pytest.raises(ValueError, match="drop_last"):
+            DeviceCachedLoader(dataset, batch_size=4, drop_last=False, seed=0,
+                               mesh=mesh, shard_store=True)
+        with pytest.raises(ValueError, match="divisible"):
+            DeviceCachedLoader(dataset, batch_size=3, drop_last=True, seed=0,
+                               mesh=mesh, shard_store=True)
+
     def test_host_aug_transform_rejected(self, dataset, tmp_path):
         from multimodal_tta_tpu.data.transforms import get_seg_transforms
 
