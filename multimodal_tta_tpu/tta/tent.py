@@ -126,6 +126,20 @@ class TentAdapter:
         self.window_roi = tuple(int(x) for x in get_config(wnd, "roi_size", [32, 96, 96]))
         self.windows_per_step = int(get_config(wnd, "windows_per_step", 4))
 
+        # prediction protocol for the fused adapt+predict serving path:
+        #   "post"   — predictions from an EXTRA forward with the post-update
+        #              params (strict adapt-then-predict; the conservative
+        #              default, and what evaluation uses)
+        #   "inline" — predictions from the final adaptation step's own
+        #              forward (the official online Tent protocol: Wang et
+        #              al. ICLR 2021 `forward_and_adapt` returns the outputs
+        #              computed BEFORE the update and the adapted state
+        #              carries to the next batch) — one forward cheaper;
+        #              meant for continual/streaming serving
+        self.predict_mode = str(get_config(self.cfg, "predict", "post")).lower()
+        if self.predict_mode not in ("post", "inline"):
+            raise ValueError(f"[tent] unknown predict mode: {self.predict_mode}")
+
         # loss: "entropy" (Tent) or "entropy+consistency" (adds an invariance
         # term between predictions on the batch and an intensity-jittered view)
         self.loss_mode = str(get_config(self.cfg, "loss", "entropy")).lower()
@@ -212,10 +226,25 @@ class TentAdapter:
         mask = self._param_mask(params)
         return self._partition(params, mask)[0]
 
-    def _build_adapt_step(self, state, predict_threshold=None):
-        """predict_threshold: when set, the jit additionally runs the
-        post-adaptation segmentation forward and returns thresholded
-        predictions — adapt+segment in ONE dispatch."""
+    def _build_adapt_step(self, state, predict_threshold=None, predict_mode="post"):
+        """predict_threshold: when set, the jit additionally returns
+        thresholded segmentation predictions — adapt+segment in ONE dispatch.
+        predict_mode "post" runs an extra forward with the adapted params;
+        "inline" reuses the final adaptation step's forward (official online
+        Tent protocol — one full-volume forward cheaper)."""
+        if predict_threshold is not None and predict_mode == "inline":
+            if self.window_enabled:
+                raise ValueError(
+                    "[tent] predict=inline needs the adaptation forward to be "
+                    "whole-volume; it is incompatible with tta.window"
+                )
+            if self.episodic and self.steps == 1:
+                self.logger.warning(
+                    "[tent] predict=inline with episodic=true, steps=1: "
+                    "predictions come from the pre-update forward and the "
+                    "state resets per batch, so adaptation cannot affect any "
+                    "prediction — use episodic=false (continual) or steps>1"
+                )
         param_mask = self._param_mask(state.params)
         tx = self._build_tx()
         self._tx = tx
@@ -285,7 +314,7 @@ class TentAdapter:
                         (p1 - p2) ** 2, axis=tuple(range(1, p1.ndim))
                     )
                     loss = loss + cons_weight * jnp.sum(per_cons * mask) / denom
-                return loss, new_bs
+                return loss, (new_bs, logits)
 
             def crop_windows(key, x):
                 """Sample `windows_per_step` random ROIs from valid batch
@@ -321,24 +350,44 @@ class TentAdapter:
                         p1 = jax.nn.softmax(logits, axis=-1)
                         p2 = jax.nn.softmax(logits2, axis=-1)
                     loss = loss + cons_weight * jnp.mean((p1 - p2) ** 2)
-                return loss, new_bs
+                return loss, (new_bs, logits)
 
             objective = windowed_loss_of if window_enabled else loss_of
 
-            def one_step(carry, key):
-                trainable, bs, opt_state = carry
+            def grad_step(trainable, bs, opt_state, key):
                 k_md, k_obj = jax.random.split(key)
                 x = image
                 if md_enabled:
                     x = modality_dropout(k_md, x, prob=md_prob)
-                (ent, new_bs), grads = jax.value_and_grad(objective, has_aux=True)(
-                    trainable, bs, x, k_obj
-                )
+                (ent, (new_bs, logits)), grads = jax.value_and_grad(
+                    objective, has_aux=True
+                )(trainable, bs, x, k_obj)
                 updates, opt_state = tx.update(grads, opt_state, trainable)
                 trainable = optax.apply_updates(trainable, updates)
-                return (trainable, new_bs, opt_state), ent
+                return trainable, new_bs, opt_state, ent, logits
+
+            def one_step(carry, key):
+                trainable, bs, opt_state = carry
+                trainable, bs, opt_state, ent, _ = grad_step(trainable, bs, opt_state, key)
+                return (trainable, bs, opt_state), ent
 
             keys = jax.random.split(rng, steps)
+            inline = predict_threshold is not None and predict_mode == "inline"
+            if inline:
+                # official online-Tent protocol: the LAST adaptation step runs
+                # outside the scan so its forward's logits double as the
+                # predictions (no extra post-adaptation forward)
+                (trainable, batch_stats, opt_state), ents_head = jax.lax.scan(
+                    one_step, (trainable0, batch_stats, opt_state), keys[:-1]
+                )
+                trainable, batch_stats, opt_state, ent, logits = grad_step(
+                    trainable, batch_stats, opt_state, keys[-1]
+                )
+                ents = jnp.concatenate([ents_head, ent[None]])
+                params = combine(trainable, frozen)
+                pred = (jax.nn.sigmoid(logits) >= predict_threshold).astype(jnp.uint8)
+                return params, batch_stats, opt_state, ents, pred
+
             (trainable, batch_stats, opt_state), ents = jax.lax.scan(
                 one_step, (trainable0, batch_stats, opt_state), keys
             )
@@ -396,11 +445,18 @@ class TentAdapter:
 
         return adapt_fn
 
-    def make_adapt_predict_fn(self, source_state, threshold: float) -> Callable:
+    def make_adapt_predict_fn(
+        self, source_state, threshold: float, predict_mode: Optional[str] = None
+    ) -> Callable:
         """adapt_predict_fn(state, image, n_valid) -> (state, pred uint8) with
         adaptation AND segmentation fused into one jitted dispatch (the
-        deployment-serving shape of the north-star workload)."""
-        step = self._build_adapt_step(source_state, predict_threshold=float(threshold))
+        deployment-serving shape of the north-star workload). predict_mode
+        defaults to ``tta.predict`` ("post" strict / "inline" official online
+        Tent)."""
+        mode = (predict_mode or self.predict_mode).lower()
+        step = self._build_adapt_step(
+            source_state, predict_threshold=float(threshold), predict_mode=mode
+        )
         opt_state0 = self._tx.init(self.trainable_subtree(source_state.params))
         self._opt_state = opt_state0
         self._last_ents = None

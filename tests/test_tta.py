@@ -361,3 +361,88 @@ class TestWindowedAdaptation:
         ):
             if not pm:
                 assert np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+class TestInlinePredict:
+    """predict=inline — the official online Tent protocol: predictions come
+    from the final adaptation step's own forward (Wang et al. ICLR 2021
+    forward_and_adapt returns pre-update outputs; the adapted state carries
+    to the next batch)."""
+
+    def test_steps1_episodic_pred_equals_source_forward(self):
+        """With one step, inline predictions use the pre-update params, so
+        they must EXACTLY equal the plain source-model predictions."""
+        state = make_state()
+        cfg = full_cfg(tent_cfg(steps=1))
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+        ap = adapter.make_adapt_predict_fn(state, threshold=0.5, predict_mode="inline")
+        x = jnp.asarray(np.random.RandomState(7).randn(2, 16, 16, 16, 2), jnp.float32)
+        _, pred = ap(state, x, 2)
+        logits = state.apply_fn({"params": state.params}, x, train=False)
+        expect = (jax.nn.sigmoid(logits) >= 0.5).astype(jnp.uint8)
+        assert np.array_equal(np.asarray(pred), np.asarray(expect))
+
+    def test_adapted_state_identical_to_post_mode(self):
+        """inline changes WHERE predictions come from, not the adaptation
+        math: the adapted params must match predict=post (up to fusion-order
+        ulps — the final step compiles unrolled instead of scanned)."""
+        x = jnp.asarray(np.random.RandomState(8).randn(2, 16, 16, 16, 2), jnp.float32)
+        states = {}
+        for mode in ("post", "inline"):
+            state = make_state()
+            cfg = full_cfg(tent_cfg(steps=2, episodic=False))
+            adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+            ap = adapter.make_adapt_predict_fn(state, threshold=0.5, predict_mode=mode)
+            s, _ = ap(state, x, 2)
+            states[mode] = s
+        for a, b in zip(
+            jax.tree_util.tree_leaves(states["post"].params),
+            jax.tree_util.tree_leaves(states["inline"].params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-9)
+
+    def test_continual_inline_stream_reduces_entropy(self):
+        """Streaming serving: state carries across batches, and the recorded
+        final-step entropy trends down over the stream."""
+        from multimodal_tta_tpu.ops.losses import entropy_loss
+
+        state = make_state()
+        cfg = full_cfg(tent_cfg(steps=1, episodic=False, lr=1e-2))
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+        ap = adapter.make_adapt_predict_fn(state, threshold=0.5, predict_mode="inline")
+        rng = np.random.RandomState(9)
+        cur = state
+        ents = []
+        for _ in range(6):
+            x = jnp.asarray(rng.randn(2, 16, 16, 16, 2), jnp.float32)
+            cur, pred = ap(cur, x, 2)
+            ents.append(adapter.last_entropy)
+            assert pred.dtype == jnp.uint8
+        assert ents[-1] < ents[0], f"entropy did not trend down: {ents}"
+        # the stream actually moved the norm params away from source
+        mask = norm_param_mask(state.params)
+        moved = any(
+            pm and not np.allclose(np.asarray(p0), np.asarray(p1))
+            for p0, pm, p1 in zip(
+                jax.tree_util.tree_leaves(state.params),
+                jax.tree_util.tree_leaves(mask),
+                jax.tree_util.tree_leaves(cur.params),
+            )
+        )
+        assert moved
+
+    def test_inline_rejects_windowed(self):
+        state = make_state()
+        cfg = full_cfg(
+            tent_cfg(window={"enabled": True, "roi_size": [8, 8, 8], "windows_per_step": 2})
+        )
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+        with pytest.raises(ValueError, match="window"):
+            adapter.make_adapt_predict_fn(state, threshold=0.5, predict_mode="inline")
+
+    def test_config_key_selects_mode(self):
+        cfg = full_cfg(tent_cfg(predict="inline"))
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+        assert adapter.predict_mode == "inline"
+        with pytest.raises(ValueError, match="predict"):
+            TentAdapter(ConfigNode({"method": "tent", "predict": "nope"}), config=cfg)
