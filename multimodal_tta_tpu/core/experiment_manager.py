@@ -318,5 +318,11 @@ class ExperimentManager:
                 test_loader=self.test_loader,
                 eval_on_train=eval_on_train,
             )
+        # the jitted train step DONATES the TrainState buffers, so the state
+        # this manager handed to the trainer is dead after step 1 — sync the
+        # live (post-training) state back so post-train consumers (TTA
+        # evaluation, export, adapt.py-style flows) see real parameters
+        if getattr(self.trainer, "state", None) is not None:
+            self.state = self.trainer.state
         self.logger.info("Training completed")
         return results

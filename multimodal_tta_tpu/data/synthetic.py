@@ -27,6 +27,7 @@ def make_hecktor_fixture(
     n_lesions: Tuple[int, int] = (1, 1),
     radius_range: Tuple[float, float] = (3.0, 3.0),
     lesion_contrast: Tuple[float, float] = (300.0, 6.0),  # (CT HU, PET SUV) bump
+    domain_shift: Optional[Dict[str, Dict[str, float]]] = None,
 ) -> str:
     """Create a synthetic HECKTOR21 processed tree + manifest.csv.
 
@@ -36,6 +37,14 @@ def make_hecktor_fixture(
     ``n_lesions``/``radius_range`` spans for a harder model-comparison task
     (small lesions punish resolution loss, multiple lesions punish
     under-segmentation).
+
+    ``domain_shift`` maps a center code to a scanner-shift spec applied to
+    that center's volumes (the leave-one-center-out domain-gap simulator the
+    TTA validation uses). Keys (all optional): ``ct_gain``, ``ct_bias``,
+    ``pt_gain``, ``pt_gamma`` (PET nonlinearity), ``noise`` (extra additive
+    CT noise sigma), ``bias_field`` (amplitude of a smooth multiplicative
+    cosine bias field — survives masked z-score normalization, unlike pure
+    gain/bias).
     """
     centers = centers or {"CHUS": 4, "CHUM": 4, "CHGJ": 3}
     rng = np.random.RandomState(seed)
@@ -62,6 +71,31 @@ def make_hecktor_fixture(
             # make the tumor visible in both modalities
             ct = ct + mask * lesion_contrast[0]
             pt = pt + mask * lesion_contrast[1]
+
+            sh = (domain_shift or {}).get(center)
+            if sh:
+                amp = float(sh.get("bias_field", 0.0))
+                if amp:
+                    # smooth multiplicative field: product of random-phase
+                    # cosines per axis (spatially varying, so it is NOT
+                    # removed by per-channel z-score normalization)
+                    fx, fy, fz = (rng.uniform(0.5, 1.5) for _ in range(3))
+                    px, py, pz = (rng.uniform(0, 2 * np.pi) for _ in range(3))
+                    field = 1.0 + amp * (
+                        np.cos(2 * np.pi * fx * X / shape[0] + px)
+                        * np.cos(2 * np.pi * fy * Y / shape[1] + py)
+                        * np.cos(2 * np.pi * fz * Z / shape[2] + pz)
+                    ).astype(np.float32)
+                    ct = ct * field
+                    pt = pt * field
+                ct = ct * float(sh.get("ct_gain", 1.0)) + float(sh.get("ct_bias", 0.0))
+                gamma = float(sh.get("pt_gamma", 1.0))
+                if gamma != 1.0:
+                    pt = np.power(np.maximum(pt, 0.0) / 15.0, gamma) * 15.0
+                pt = pt * float(sh.get("pt_gain", 1.0))
+                noise = float(sh.get("noise", 0.0))
+                if noise:
+                    ct = ct + rng.randn(*shape).astype(np.float32) * noise
 
             ct_p = os.path.join(img_dir, f"{pid}_ct.nii.gz")
             pt_p = os.path.join(img_dir, f"{pid}_pt.nii.gz")

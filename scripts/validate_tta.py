@@ -1,0 +1,215 @@
+"""Adaptation-quality validation: does Tent recover Dice under domain shift?
+
+The reference repo is a TTA *scaffold* with no TTA algorithm (SURVEY.md §0),
+so there is no reference number to match — this script creates the evidence
+that the framework's TTA engine does what TTA is for. Protocol:
+
+  1. Generate a synthetic HECKTOR fixture where the held-out target center
+     (CHUP) has a simulated scanner shift (multiplicative bias field + PET
+     gamma + CT gain/noise — the bias field survives the masked-z-score
+     normalization, so the shift reaches the model).
+  2. Train the flagship UNet on the source centers only.
+  3. Evaluate the target center: no-adapt vs Tent episodic (strict
+     adapt-then-predict) vs Tent continual vs the online inline protocol.
+
+    python scripts/validate_tta.py [--epochs 24] [--steps-list 1 4] \
+        [--lrs 1e-3 1e-2] [--out r.json]
+
+Prints one JSON line per mode and a verdict line with the Dice deltas.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from multimodal_tta_tpu.utils.jax_setup import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+SHIFT = {
+    "CHUP": {
+        "bias_field": 0.35,
+        "ct_gain": 1.15,
+        "ct_bias": 40.0,
+        "pt_gamma": 1.4,
+        "pt_gain": 0.8,
+        "noise": 60.0,
+    }
+}
+
+
+def ensure_fixture(root: str) -> str:
+    manifest = os.path.join(root, "manifest.csv")
+    if os.path.exists(manifest):
+        return manifest
+    from multimodal_tta_tpu.data.synthetic import make_hecktor_fixture
+
+    print("[validate_tta] generating shifted fixture ...", file=sys.stderr)
+    return make_hecktor_fixture(
+        root,
+        centers={"CHGJ": 16, "CHUS": 16, "CHUM": 16, "CHUP": 16},
+        shape=(144, 144, 48),
+        seed=11,
+        n_lesions=(1, 3),
+        radius_range=(4.0, 9.0),
+        domain_shift=SHIFT,
+    )
+
+
+def train_source(manifest: str, epochs: int, out_root: str):
+    """Train the flagship UNet on the source centers; returns (manager, cfg)."""
+    from multimodal_tta_tpu.conf import compose, setup_run_dir
+    from multimodal_tta_tpu.core import ExperimentManager
+    from multimodal_tta_tpu.utils.logger import setup_logger
+
+    overrides = [
+        "task=hecktor21",
+        "dataset=hecktor21",
+        "model=unet",
+        f"dataset.manifest_csv={manifest}",
+        "dataset.expected_shape=[144,144,48]",
+        "dataset.target_center=CHUP",
+        "dataset.val_per_center=2",
+        "dataset.cache_in_memory=true",
+        f"training.epochs={epochs}",
+        "training.batch_size=8",
+        "training.eval_batch_size=8",
+        "training.num_workers=8",
+        "training.device_cache=true",
+        "training.optimizer=adam",
+        "training.optimizers.adam.lr=1e-3",
+        "training.eval_test.start_epoch=0",
+        f"training.eval_test.every_n_epochs={max(epochs // 3, 1)}",
+        "training.eval_test.run_last=true",
+        "training.eval_test.do_test=false",
+        "training.model_save_start=9999",
+        f"task.save_dir={out_root}",
+        "task.run_name=tta_validate",
+    ]
+    cfg = compose(os.path.join(REPO_ROOT, "configs"), "config", overrides)
+    run_dir = setup_run_dir(cfg)
+    setup_logger(log_file=os.path.join(run_dir, "train.log"))
+
+    manager = ExperimentManager(cfg)
+    manager.setup_model()
+    manager.setup_data(mode="train")
+    manager.setup_optimizer()
+    manager.setup_scheduler()
+    manager.setup_trainer(run_dir)
+    t0 = time.perf_counter()
+    manager.train(cfg.training.epochs)
+    print(f"[validate_tta] source training {time.perf_counter() - t0:.0f}s",
+          file=sys.stderr)
+    return manager, cfg
+
+
+def eval_mode(manager, cfg, test_loader, device_transform, tta_over: dict):
+    """Evaluate the test split under one TTA configuration; returns metrics."""
+    from multimodal_tta_tpu.tta import TTAEngine
+
+    c = cfg.copy()
+    c.tta = tta_over
+    engine = TTAEngine(c, mesh=manager.mesh, device_transform=device_transform)
+    with manager.mesh:
+        return engine.evaluate(manager.state, test_loader)
+
+
+def eval_inline(manager, cfg, test_loader, device_transform, steps: int, lr: float):
+    """Online protocol: Dice of the inline predictions themselves (continual
+    stream over the target center)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from multimodal_tta_tpu.conf import ConfigNode
+    from multimodal_tta_tpu.tta import TentAdapter
+    from multimodal_tta_tpu.utils.config import get_config
+
+    tta_cfg = ConfigNode(
+        {"method": "tent", "steps": steps, "lr": lr, "optimizer": "sgd",
+         "momentum": 0.9, "update": "norm", "episodic": False}
+    )
+    adapter = TentAdapter(tta_cfg, config=cfg, mesh=manager.mesh,
+                          device_transform=device_transform)
+    thr = float(get_config(cfg, "evaluation.seg.threshold", 0.3))
+    ap = adapter.make_adapt_predict_fn(manager.state, threshold=thr,
+                                       predict_mode="inline")
+    inter = union = 0.0
+    cur = manager.state
+    with manager.mesh:
+        for batch in test_loader:
+            n = int(batch.get("_n_valid", batch["image"].shape[0]))
+            cur, pred = ap(cur, jnp.asarray(batch["image"]), n)
+            p = np.asarray(pred)[:n].astype(np.float64)
+            y = np.asarray(batch["label"])[:n].astype(np.float64)
+            inter += float((p * y).sum())
+            union += float(p.sum() + y.sum())
+    return {"avg_dc": 2.0 * inter / max(union, 1.0)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=24)
+    ap.add_argument("--steps-list", type=int, nargs="+", default=[1, 4])
+    ap.add_argument("--lrs", type=float, nargs="+", default=[1e-3, 1e-2])
+    ap.add_argument("--fixture", default=os.path.join(REPO_ROOT, ".tta_validate_fixture"))
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    manifest = ensure_fixture(args.fixture)
+    manager, cfg = train_source(manifest, args.epochs, os.path.join(args.fixture, "runs"))
+
+    test_loader = manager._builder.get_loader("test")
+    device_transform = None
+    if hasattr(manager._builder, "build_transform"):
+        device_transform = manager._builder.build_transform("test").device_spec()
+
+    m = eval_mode(manager, cfg, test_loader, device_transform, {"method": "none"})
+    no_adapt = round(float(m.get("avg_dc", 0.0)), 4)
+    rows = [{"mode": "no_adapt", "avg_dc": no_adapt}]
+    print(json.dumps(rows[0]))
+
+    best = {"delta": 0.0, "mode": "no_adapt"}
+    for steps in args.steps_list:
+        for lr in args.lrs:
+            base = dict(steps=steps, lr=lr, optimizer="sgd", momentum=0.9,
+                        update="norm", modality_dropout={"enabled": False})
+            for name, tta in (
+                ("tent_episodic", {"method": "tent", "episodic": True, **base}),
+                ("tent_continual", {"method": "tent", "episodic": False, **base}),
+            ):
+                m = eval_mode(manager, cfg, test_loader, device_transform, tta)
+                row = {"mode": name, "steps": steps, "lr": lr,
+                       "avg_dc": round(float(m.get("avg_dc", 0.0)), 4)}
+                row["delta_vs_no_adapt"] = round(row["avg_dc"] - no_adapt, 4)
+                rows.append(row)
+                print(json.dumps(row))
+                if row["delta_vs_no_adapt"] > best["delta"]:
+                    best = {"delta": row["delta_vs_no_adapt"], "mode": name,
+                            "steps": steps, "lr": lr}
+            m = eval_inline(manager, cfg, test_loader, device_transform, steps, lr)
+            row = {"mode": "tent_online_inline", "steps": steps, "lr": lr,
+                   "avg_dc": round(float(m["avg_dc"]), 4)}
+            row["delta_vs_no_adapt"] = round(row["avg_dc"] - no_adapt, 4)
+            rows.append(row)
+            print(json.dumps(row))
+            if row["delta_vs_no_adapt"] > best["delta"]:
+                best = {"delta": row["delta_vs_no_adapt"], "mode": "tent_online_inline",
+                        "steps": steps, "lr": lr}
+
+    verdict = {"no_adapt_avg_dc": no_adapt, "best": best}
+    print(json.dumps(verdict))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"rows": rows, "verdict": verdict}, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

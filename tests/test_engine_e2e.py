@@ -142,6 +142,12 @@ class TestEndToEnd:
         # checkpoints written
         ckpts = os.listdir(str(tmp_path / "run" / "checkpoints"))
         assert any(c.endswith(".msgpack") for c in ckpts)
+        # manager.state is the LIVE post-training state, not the donated
+        # (deleted-buffer) one handed to the trainer — post-train consumers
+        # (TTA evaluation, export) must be able to run a forward from it
+        x = np.zeros((1, 16, 16, 16, 2), np.float32)
+        logits = mgr.state.apply_fn({"params": mgr.state.params}, x, train=False)
+        assert np.all(np.isfinite(np.asarray(logits)))
 
     def test_loss_decreases_overfit(self, hecktor_manifest, tmp_path):
         cfg = small_cfg(
