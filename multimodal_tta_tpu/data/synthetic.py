@@ -128,11 +128,20 @@ def make_brats_fixture(
     sources: Optional[Dict[str, Dict]] = None,
     shape: Tuple[int, int, int] = (10, 12, 10),  # (X,Y,Z)
     seed: int = 1,
+    n_lesions: Optional[Tuple[int, int]] = None,
+    radius_range: Tuple[float, float] = (6.0, 14.0),
 ) -> Dict[str, str]:
     """Create synthetic BraTS per-source trees + processed.csv files.
 
     Returns {source_name: csv_path}. Label values follow the per-profile
     taxonomies (gli/ssa: 1..3, ped: 1..4).
+
+    Default labels are uniform-random voxels (cheap shape/split fixture —
+    NOT learnable). Pass ``n_lesions`` to generate STRUCTURED tumors instead:
+    nested ellipsoid shells carrying the profile's raw ids with
+    modality-dependent contrast (t1c lights up enhancing tumor, t2f edema,
+    ...), so segmentation is learnable — the BraTS analogue of the HECKTOR
+    lesion fixture, used by the TTA validation.
     """
     sources = sources or {
         "glipre": {"profile": "gli", "cases": {"train": 3, "test": 2}},
@@ -142,6 +151,31 @@ def make_brats_fixture(
     rng = np.random.RandomState(seed)
     mods = ["t1n", "t1c", "t2w", "t2f"]
     affine = np.eye(4)
+    # structured mode: per-modality intensity bump for each raw label id —
+    # every region is separable from some modality combination
+    contrast = {
+        "t1n": {1: 1.5, 2: 0.5, 3: 1.0, 4: 0.8},
+        "t1c": {1: 0.5, 2: 0.5, 3: 3.0, 4: 1.0},
+        "t2w": {1: 1.0, 2: 2.0, 3: 0.5, 4: 1.5},
+        "t2f": {1: 0.5, 2: 3.0, 3: 0.5, 4: 2.0},
+    }
+    grids = np.meshgrid(*(np.arange(s) for s in shape), indexing="ij") if n_lesions else None
+
+    def structured_label(max_label: int) -> np.ndarray:
+        """Nested ellipsoid shells, innermost shell = the profile's
+        enhancing-tumor id (gli/ssa: 3; ped: 1), outer shells the rest."""
+        shell_ids = [3, 1, 2] if max_label == 3 else [1, 2, 3, 4]
+        fracs = np.linspace(0.45, 1.0, len(shell_ids))
+        lab = np.zeros(shape, np.uint8)
+        X, Y, Z = grids
+        for _ in range(rng.randint(n_lesions[0], n_lesions[1] + 1)):
+            r = rng.uniform(*radius_range)
+            cx, cy, cz = (rng.randint(3, max(s - 3, 4)) for s in shape)
+            d2 = (X - cx) ** 2 + (Y - cy) ** 2 + (Z - cz) ** 2
+            for sid, f in zip(reversed(shell_ids), reversed(fracs)):
+                lab[d2 < (r * f) ** 2] = sid
+        return lab
+
     out = {}
     for sname, spec in sources.items():
         sdir = os.path.join(root, sname)
@@ -153,11 +187,17 @@ def make_brats_fixture(
             for _ in range(n):
                 case = f"{sname}_{idx:03d}"
                 idx += 1
-                lab = rng.randint(0, max_label + 1, size=shape).astype(np.int16)
+                if n_lesions:
+                    lab = structured_label(max_label).astype(np.int16)
+                else:
+                    lab = rng.randint(0, max_label + 1, size=shape).astype(np.int16)
                 lab_p = os.path.join(sdir, f"{case}_seg.nii.gz")
                 nifti.save(lab.astype(np.uint8), affine, lab_p)
                 for m in mods:
                     img = rng.randn(*shape).astype(np.float32)
+                    if n_lesions:
+                        for sid, amp in contrast[m].items():
+                            img = img + amp * (lab == sid).astype(np.float32)
                     img_p = os.path.join(sdir, f"{case}_{m}.nii.gz")
                     nifti.save(img, affine, img_p)
                     rows.append(

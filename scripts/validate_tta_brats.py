@@ -1,0 +1,215 @@
+"""BraTS TTA validation: missing-modality domain shift + modality-dropout
+Tent (BASELINE.json config #3).
+
+Protocol:
+  1. Structured synthetic BraTS fixture (nested-shell tumors, learnable —
+     data/synthetic.py make_brats_fixture(n_lesions=...)).
+  2. Train the multimodal mid-fusion UNet on the 4-modality source split.
+  3. Evaluate the test split with one modality ZEROED (the missing-modality
+     shift — e.g. t1c, which carries the enhancing-tumor contrast), under:
+     no-adapt, Tent, and Tent with modality dropout in the adaptation steps
+     (the adaptation-time augmentation that robustifies norm statistics to
+     absent modalities).
+
+    python scripts/validate_tta_brats.py [--epochs 24] [--drop-mod 1] \
+        [--steps-list 1 4] [--lrs 1e-3 1e-2] [--out r.json]
+
+Prints one JSON line per mode and a verdict line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from multimodal_tta_tpu.utils.jax_setup import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+MODS = ["t1n", "t1c", "t2w", "t2f"]
+
+
+def ensure_fixture(root: str, shape=(96, 96, 64), n_train=24, n_test=8,
+                   radius_range=(8.0, 16.0)):
+    csv = os.path.join(root, "glipre", "processed.csv")
+    if os.path.exists(csv):
+        return {"glipre": csv}
+    from multimodal_tta_tpu.data.synthetic import make_brats_fixture
+
+    print("[validate_tta_brats] generating structured fixture ...", file=sys.stderr)
+    return make_brats_fixture(
+        root,
+        shape=tuple(shape),
+        seed=13,
+        sources={"glipre": {"profile": "gli", "cases": {"train": n_train, "test": n_test}}},
+        n_lesions=(1, 2),
+        radius_range=tuple(radius_range),
+    )
+
+
+def train_source(csvs, epochs: int, out_root: str, shape, extra=()):
+    from multimodal_tta_tpu.conf import compose, setup_run_dir
+    from multimodal_tta_tpu.core import ExperimentManager
+    from multimodal_tta_tpu.utils.logger import setup_logger
+
+    x, y, z = (int(s) for s in shape)
+    overrides = [
+        "task=brats",
+        "dataset=brats",
+        "model=unet_multimodal_midfusion",
+        "hydra.job.chdir=false",
+        f"dataset.expected_shape=[{x},{y},{z}]",
+        f"training.data.transforms.image_size=[{z},{y},{x}]",
+        f"training.epochs={epochs}",
+        "training.batch_size=2",
+        "training.eval_batch_size=2",
+        "training.num_workers=8",
+        "training.device_cache=true",
+        "training.optimizer=adam",
+        "training.optimizers.adam.lr=1e-3",
+        "training.eval_test.start_epoch=0",
+        f"training.eval_test.every_n_epochs={max(epochs // 3, 1)}",
+        "training.eval_test.run_last=true",
+        "training.eval_test.do_test=false",
+        "training.model_save_start=9999",
+        f"task.save_dir={out_root}",
+        "task.run_name=tta_validate_brats",
+    ] + list(extra)
+    cfg = compose(os.path.join(REPO_ROOT, "configs"), "config", overrides)
+    # sources are a list — point the first (and only) one at the fixture,
+    # drop the rest (ssa/ped defaults point at nonexistent csvs)
+    cfg.dataset.sources = [cfg.dataset.sources[0].to_container()
+                           if hasattr(cfg.dataset.sources[0], "to_container")
+                           else dict(cfg.dataset.sources[0])]
+    cfg.dataset.sources[0]["csv_path"] = csvs["glipre"]
+    cfg.dataset.sources[0]["include_splits"] = {
+        "train": ["train"], "val": ["test"], "test": ["test"]}
+
+    run_dir = setup_run_dir(cfg)
+    setup_logger(log_file=os.path.join(run_dir, "train.log"))
+    manager = ExperimentManager(cfg)
+    manager.setup_model()
+    manager.setup_data(mode="train")
+    manager.setup_optimizer()
+    manager.setup_scheduler()
+    manager.setup_trainer(run_dir)
+    t0 = time.perf_counter()
+    manager.train(cfg.training.epochs)
+    print(f"[validate_tta_brats] source training {time.perf_counter() - t0:.0f}s",
+          file=sys.stderr)
+    return manager, cfg
+
+
+class DropModalityLoader:
+    """Wraps a loader, zeroing one input channel — the missing-modality
+    test-time shift (channels-last [B,D,H,W,C])."""
+
+    def __init__(self, loader, mod_index: int):
+        self.loader = loader
+        self.mod_index = int(mod_index)
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import numpy as np
+
+        for batch in self.loader:
+            img = np.array(batch["image"], copy=True)
+            img[..., self.mod_index] = 0.0
+            out = dict(batch)
+            out["image"] = img
+            yield out
+
+
+def eval_mode(manager, cfg, loader, device_transform, tta_over: dict):
+    from multimodal_tta_tpu.tta import TTAEngine
+
+    c = cfg.copy()
+    c.tta = tta_over
+    engine = TTAEngine(c, mesh=manager.mesh, device_transform=device_transform)
+    with manager.mesh:
+        return engine.evaluate(manager.state, loader)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=24)
+    ap.add_argument("--drop-mod", type=int, default=1, help="channel to zero (1 = t1c)")
+    ap.add_argument("--steps-list", type=int, nargs="+", default=[1, 4])
+    ap.add_argument("--lrs", type=float, nargs="+", default=[1e-3, 1e-2])
+    ap.add_argument("--fixture", default=os.path.join(REPO_ROOT, ".tta_validate_brats_fixture"))
+    ap.add_argument("--shape", type=int, nargs=3, default=[96, 96, 64], help="X Y Z")
+    ap.add_argument("--n-train", type=int, default=24)
+    ap.add_argument("--n-test", type=int, default=8)
+    ap.add_argument("--radius-range", type=float, nargs=2, default=[8.0, 16.0])
+    ap.add_argument("--extra", nargs="*", default=[], help="extra config overrides")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    csvs = ensure_fixture(args.fixture, shape=args.shape, n_train=args.n_train,
+                          n_test=args.n_test, radius_range=args.radius_range)
+    manager, cfg = train_source(csvs, args.epochs, os.path.join(args.fixture, "runs"),
+                                args.shape, args.extra)
+
+    test_loader = manager._builder.get_loader("test")
+    device_transform = None
+    if hasattr(manager._builder, "build_transform"):
+        t = manager._builder.build_transform("test")
+        if t is not None and hasattr(t, "device_spec"):
+            device_transform = t.device_spec()
+
+    def report(m):
+        return {k: round(float(m.get(k, 0.0)), 4)
+                for k in ("et_dc", "tc_dc", "wt_dc", "avg_dc")}
+
+    rows = []
+    # reference points: clean test set, and shifted with no adaptation
+    m = eval_mode(manager, cfg, test_loader, device_transform, {"method": "none"})
+    rows.append({"mode": "clean_no_adapt", **report(m)})
+    print(json.dumps(rows[-1]))
+
+    shifted = DropModalityLoader(test_loader, args.drop_mod)
+    m = eval_mode(manager, cfg, shifted, device_transform, {"method": "none"})
+    no_adapt = report(m)
+    rows.append({"mode": f"missing_{MODS[args.drop_mod]}_no_adapt", **no_adapt})
+    print(json.dumps(rows[-1]))
+
+    best = {"delta": 0.0, "mode": "no_adapt"}
+    for steps in args.steps_list:
+        for lr in args.lrs:
+            base = dict(steps=steps, lr=lr, optimizer="sgd", momentum=0.9,
+                        update="norm", episodic=True)
+            for name, tta in (
+                ("tent", {"method": "tent",
+                          "modality_dropout": {"enabled": False}, **base}),
+                ("tent_mod_dropout", {"method": "tent",
+                                      "modality_dropout": {"enabled": True, "prob": 0.25},
+                                      **base}),
+            ):
+                m = eval_mode(manager, cfg, shifted, device_transform, tta)
+                row = {"mode": name, "steps": steps, "lr": lr, **report(m)}
+                row["delta_avg_dc"] = round(row["avg_dc"] - no_adapt["avg_dc"], 4)
+                rows.append(row)
+                print(json.dumps(row))
+                if row["delta_avg_dc"] > best["delta"]:
+                    best = {"delta": row["delta_avg_dc"], "mode": name,
+                            "steps": steps, "lr": lr}
+
+    verdict = {"missing_modality": MODS[args.drop_mod],
+               "no_adapt_avg_dc": no_adapt["avg_dc"], "best": best}
+    print(json.dumps(verdict))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"rows": rows, "verdict": verdict}, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

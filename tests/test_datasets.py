@@ -384,3 +384,48 @@ class TestTransformsHost:
     def test_eval_split_disables_aug(self):
         t = get_seg_transforms(ndim=3, split="val", normalize=False, geom_aug=True, intensity_aug=True)
         assert not t.geom_aug and not t.intensity_aug
+
+
+class TestStructuredFixtures:
+    def test_brats_structured_lesions_learnable(self, tmp_path):
+        """n_lesions mode: nested-shell tumors with per-modality contrast —
+        labels follow the profile taxonomy and regions are non-empty."""
+        csvs = make_brats_fixture(
+            str(tmp_path),
+            shape=(24, 24, 16),
+            sources={"glipre": {"profile": "gli", "cases": {"train": 2}}},
+            n_lesions=(1, 2),
+            radius_range=(5.0, 8.0),
+            seed=3,
+        )
+        import pandas as pd
+        from multimodal_tta_tpu.data import nifti
+
+        df = pd.read_csv(csvs["glipre"])
+        lab = nifti.load(df.iloc[0]["label_path"]).get_fdata()
+        vals = set(np.unique(lab).astype(int))
+        assert vals <= {0, 1, 2, 3} and len(vals) > 2  # nested shells present
+        # the enhancing shell (id 3) lights up in t1c: contrast over noise
+        t1c = df[df["modality"] == "t1c"].iloc[0]
+        img = nifti.load(t1c["img_path"]).get_fdata()
+        et = lab == 3
+        assert et.any()
+        assert img[et].mean() > img[~(lab > 0)].mean() + 1.0
+
+    def test_hecktor_domain_shift_changes_target_center_only(self, tmp_path):
+        from multimodal_tta_tpu.data import nifti
+
+        kw = dict(
+            centers={"CHUS": 2, "CHUP": 2},
+            shape=(16, 16, 8),
+            seed=5,
+            domain_shift={"CHUP": {"bias_field": 0.4, "ct_gain": 1.2, "noise": 50.0}},
+        )
+        m = make_hecktor_fixture(str(tmp_path / "a"), **kw)
+        import pandas as pd
+
+        df = pd.read_csv(m)
+        ct_src = nifti.load(df[df.center_code == "CHUS"].iloc[0]["ct_proc"]).get_fdata()
+        ct_tgt = nifti.load(df[df.center_code == "CHUP"].iloc[0]["ct_proc"]).get_fdata()
+        # the shifted center has visibly different intensity statistics
+        assert abs(float(np.std(ct_tgt)) - float(np.std(ct_src))) > 10.0
