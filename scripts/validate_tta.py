@@ -36,12 +36,12 @@ enable_compilation_cache()
 
 SHIFT = {
     "CHUP": {
-        "bias_field": 0.35,
-        "ct_gain": 1.15,
-        "ct_bias": 40.0,
-        "pt_gamma": 1.4,
-        "pt_gain": 0.8,
-        "noise": 60.0,
+        "bias_field": 0.6,
+        "ct_gain": 1.3,
+        "ct_bias": 80.0,
+        "pt_gamma": 2.0,
+        "pt_gain": 0.6,
+        "noise": 150.0,
     }
 }
 
@@ -141,7 +141,7 @@ def eval_inline(manager, cfg, test_loader, device_transform, steps: int, lr: flo
     thr = float(get_config(cfg, "evaluation.seg.threshold", 0.3))
     ap = adapter.make_adapt_predict_fn(manager.state, threshold=thr,
                                        predict_mode="inline")
-    inter = union = 0.0
+    dices = []
     cur = manager.state
     with manager.mesh:
         for batch in test_loader:
@@ -149,9 +149,13 @@ def eval_inline(manager, cfg, test_loader, device_transform, steps: int, lr: flo
             cur, pred = ap(cur, jnp.asarray(batch["image"]), n)
             p = np.asarray(pred)[:n].astype(np.float64)
             y = np.asarray(batch["label"])[:n].astype(np.float64)
-            inter += float((p * y).sum())
-            union += float(p.sum() + y.sum())
-    return {"avg_dc": 2.0 * inter / max(union, 1.0)}
+            # per-case Dice with empty-GT gating — the seg_eval metric, so
+            # this row is comparable with the engine-evaluated modes
+            for i in range(n):
+                denom = p[i].sum() + y[i].sum()
+                if y[i].sum() > 0:
+                    dices.append(2.0 * (p[i] * y[i]).sum() / max(denom, 1.0))
+    return {"avg_dc": float(np.mean(dices)) if dices else 0.0}
 
 
 def main() -> None:
@@ -171,10 +175,18 @@ def main() -> None:
     if hasattr(manager._builder, "build_transform"):
         device_transform = manager._builder.build_transform("test").device_spec()
 
+    rows = []
+    val_loader = manager._builder.get_loader("val")
+    if val_loader is not None:
+        m = eval_mode(manager, cfg, val_loader, device_transform, {"method": "none"})
+        rows.append({"mode": "source_val_reference",
+                     "avg_dc": round(float(m.get("avg_dc", 0.0)), 4)})
+        print(json.dumps(rows[-1]))
+
     m = eval_mode(manager, cfg, test_loader, device_transform, {"method": "none"})
     no_adapt = round(float(m.get("avg_dc", 0.0)), 4)
-    rows = [{"mode": "no_adapt", "avg_dc": no_adapt}]
-    print(json.dumps(rows[0]))
+    rows.append({"mode": "no_adapt", "avg_dc": no_adapt})
+    print(json.dumps(rows[-1]))
 
     best = {"delta": 0.0, "mode": "no_adapt"}
     for steps in args.steps_list:
