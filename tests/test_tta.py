@@ -446,3 +446,32 @@ class TestInlinePredict:
         assert adapter.predict_mode == "inline"
         with pytest.raises(ValueError, match="predict"):
             TentAdapter(ConfigNode({"method": "tent", "predict": "nope"}), config=cfg)
+
+    def test_inline_continual_on_8dev_mesh(self):
+        """Pod-scale streaming serving (BASELINE config #5 shape): batch
+        sharded over the data axis, continual inline predictions, gradient
+        allreduce inserted by SPMD — predictions match single-device."""
+        from multimodal_tta_tpu.parallel.mesh import make_mesh, shard_batch
+
+        mesh = make_mesh()
+        state = make_state()
+        cfg = full_cfg(tent_cfg(steps=2, episodic=False))
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=mesh)
+        ap = adapter.make_adapt_predict_fn(state, threshold=0.5, predict_mode="inline")
+        adapter1 = TentAdapter(cfg.tta, config=cfg, mesh=None)
+        ap1 = adapter1.make_adapt_predict_fn(state, threshold=0.5, predict_mode="inline")
+
+        rng = np.random.RandomState(12)
+        cur_m, cur_1 = state, state
+        for _ in range(3):  # stream: state carries on both paths
+            x_np = rng.randn(8, 16, 16, 16, 2).astype(np.float32)
+            sharded = shard_batch({"image": x_np}, mesh)
+            cur_m, pred_m = ap(cur_m, sharded["image"], 8)
+            cur_1, pred_1 = ap1(cur_1, jnp.asarray(x_np), 8)
+            assert np.asarray(pred_m).mean() == pytest.approx(
+                np.asarray(pred_1).mean(), abs=1e-3
+            )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(cur_m.params), jax.tree_util.tree_leaves(cur_1.params)
+        ):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
