@@ -19,6 +19,12 @@ REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+# Honor JAX_PLATFORMS even when sitecustomize pre-imports jax and pins a
+# platform (the env var is otherwise silently ignored in such images).
+from multimodal_tta_tpu.utils.jax_setup import apply_platform_env
+
+apply_platform_env()
+
 # Multi-device CPU simulation for CLI runs (XLA_FLAGS env vars are too late in
 # images where sitecustomize pre-imports jax — set the config programmatically
 # before the first backend touch, exactly like tests/conftest.py):

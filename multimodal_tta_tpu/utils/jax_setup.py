@@ -47,6 +47,27 @@ def host_fingerprint() -> str:
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
 
 
+def apply_platform_env() -> None:
+    """Make the documented ``JAX_PLATFORMS`` env var actually work.
+
+    In images where sitecustomize pre-imports jax and pins a platform
+    programmatically, the env var a caller sets for a SUBPROCESS (e.g.
+    ``JAX_PLATFORMS=cpu python scripts/prepare_hecktor21.py``) is silently
+    ignored — the process runs on the pinned accelerator instead (observed:
+    an offline "CPU" preprocessing run paying tunnel H2D per volume). Entry
+    points call this before first backend use to re-assert the env var via
+    ``jax.config``, which wins over the import-time pin."""
+    plats = os.environ.get("JAX_PLATFORMS")
+    if not plats:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plats)
+    except Exception:
+        pass  # never fail a run over platform pinning
+
+
 def enable_compilation_cache(cache_dir: str = None) -> None:
     """Idempotently enable the persistent compilation cache (per-host keyed)."""
     global _DONE

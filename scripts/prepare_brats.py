@@ -30,6 +30,10 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+from multimodal_tta_tpu.utils.jax_setup import apply_platform_env
+
+apply_platform_env()  # honor JAX_PLATFORMS even under a sitecustomize pin
+
 from multimodal_tta_tpu.data import nifti
 from multimodal_tta_tpu.ops.resample import (
     Grid,

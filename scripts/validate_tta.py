@@ -60,6 +60,12 @@ def ensure_fixture(root: str) -> str:
         seed=11,
         n_lesions=(1, 3),
         radius_range=(4.0, 9.0),
+        # LOW lesion contrast (vs the 200/4-sigma background): the trained
+        # model keeps boundary uncertainty, so its entropy is non-degenerate
+        # and entropy minimization has a gradient to follow — with the
+        # default crisp +300HU lesions the source model saturates and Tent
+        # deltas collapse to +-1e-4 (measured; see BASELINE.md)
+        lesion_contrast=(150.0, 4.0),
         domain_shift=SHIFT,
     )
 
@@ -141,12 +147,13 @@ def eval_inline(manager, cfg, test_loader, device_transform, steps: int, lr: flo
     thr = float(get_config(cfg, "evaluation.seg.threshold", 0.3))
     ap = adapter.make_adapt_predict_fn(manager.state, threshold=thr,
                                        predict_mode="inline")
-    dices = []
+    dices, ents = [], []
     cur = manager.state
     with manager.mesh:
         for batch in test_loader:
             n = int(batch.get("_n_valid", batch["image"].shape[0]))
             cur, pred = ap(cur, jnp.asarray(batch["image"]), n)
+            ents.append(float(adapter.last_entropy))
             p = np.asarray(pred)[:n].astype(np.float64)
             y = np.asarray(batch["label"])[:n].astype(np.float64)
             # per-case Dice with empty-GT gating — the seg_eval metric, so
@@ -155,7 +162,8 @@ def eval_inline(manager, cfg, test_loader, device_transform, steps: int, lr: flo
                 denom = p[i].sum() + y[i].sum()
                 if y[i].sum() > 0:
                     dices.append(2.0 * (p[i] * y[i]).sum() / max(denom, 1.0))
-    return {"avg_dc": float(np.mean(dices)) if dices else 0.0}
+    return {"avg_dc": float(np.mean(dices)) if dices else 0.0,
+            "entropy": float(np.mean(ents)) if ents else None}
 
 
 def main() -> None:
@@ -208,7 +216,8 @@ def main() -> None:
                             "steps": steps, "lr": lr}
             m = eval_inline(manager, cfg, test_loader, device_transform, steps, lr)
             row = {"mode": "tent_online_inline", "steps": steps, "lr": lr,
-                   "avg_dc": round(float(m["avg_dc"]), 4)}
+                   "avg_dc": round(float(m["avg_dc"]), 4),
+                   "entropy": round(m["entropy"], 5) if m.get("entropy") is not None else None}
             row["delta_vs_no_adapt"] = round(row["avg_dc"] - no_adapt, 4)
             rows.append(row)
             print(json.dumps(row))
