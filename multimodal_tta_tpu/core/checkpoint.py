@@ -58,9 +58,25 @@ def _json_default(o):
 
 def load_checkpoint(path: str, template_state) -> Tuple[Any, Dict[str, Any]]:
     """Restore a TrainState from ``path`` using ``template_state`` for
-    structure; returns (state, extra_metadata). Auto-detects format:
-    prefers the sharded orbax directory when present, else msgpack."""
-    if os.path.isdir(path + ".orbax"):
+    structure; returns (state, extra_metadata). Auto-detects format; when
+    BOTH an .orbax directory and a .msgpack exist at the same path (a run
+    switched checkpoint_format without cleaning the save dir), the NEWER
+    one wins — both formats share the one .json sidecar, so silently
+    restoring the older payload would pair stale params with the fresh
+    run's epoch/best metadata."""
+    orbax_dir = path + ".orbax"
+    msgpack_path = path + ".msgpack"
+    has_orbax = os.path.isdir(orbax_dir)
+    if has_orbax and os.path.exists(msgpack_path):
+        if os.path.getmtime(msgpack_path) > os.path.getmtime(orbax_dir):
+            from ..utils.logger import get_logger
+
+            get_logger().warning(
+                f"[checkpoint] both {orbax_dir} and {msgpack_path} exist; "
+                f"restoring the newer msgpack (the orbax dir is stale)"
+            )
+            has_orbax = False
+    if has_orbax:
         return load_checkpoint_sharded(path, template_state)
     with open(path + ".msgpack", "rb") as f:
         blob = f.read()

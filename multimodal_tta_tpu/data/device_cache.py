@@ -133,11 +133,26 @@ class DeviceCachedLoader:
         if hasattr(dataset, "set_epoch"):
             dataset.set_epoch(0)  # transforms here are deterministic (checked)
         workers = max(1, int(num_workers))
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            samples = list(pool.map(lambda i: dataset[int(i)], range(n)))
+        # decode sample 0 to learn shapes, then preallocate the compact-dtype
+        # stores and have workers write rows IN PLACE — peak host RAM stays at
+        # the store size (a list of float32 samples + np.stack + astype would
+        # transiently hold ~3x the f32 footprint, ~6x the f16 store)
+        s0 = dataset[0]
+        img0 = np.asarray(s0["image"])
+        lbl0 = np.asarray(s0["label"])
+        images = np.empty((n,) + img0.shape, image_dtype)
+        labels = np.empty((n,) + lbl0.shape, label_dtype)
+        images[0] = img0
+        labels[0] = lbl0
+        del s0, img0, lbl0
 
-        images = np.stack([np.asarray(s["image"]) for s in samples]).astype(image_dtype)
-        labels = np.stack([np.asarray(s["label"]) for s in samples]).astype(label_dtype)
+        def decode_into(i: int) -> None:
+            s = dataset[int(i)]
+            images[i] = np.asarray(s["image"])
+            labels[i] = np.asarray(s["label"])
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(decode_into, range(1, n)))
 
         # ---- stage in HBM ----
         if self.shard_store:

@@ -28,13 +28,43 @@ from ..utils.config import get_config
 from .resnet import _VariantFactory
 
 
+def _ambient_axes() -> dict:
+    """{axis_name: (size, strict)} visible at trace time. Sources: the
+    new-style set_mesh context (strict=False — Auto axes tolerate uneven
+    dimension sizes) and the legacy ``with Mesh(...):`` context (strict=True —
+    with_sharding_constraint there REQUIRES divisibility). The legacy context
+    is how ExperimentManager/TTAEngine run everything, but on jax 0.9
+    get_abstract_mesh/get_mesh both return an EMPTY mesh inside it, so it
+    must be read from the thread-resources env — private API, hence the
+    broad guard."""
+    axes = {}
+    try:
+        from jax._src import mesh as _mesh_lib
+
+        legacy = _mesh_lib.thread_resources.env.physical_mesh
+        for name, size in zip(legacy.axis_names, legacy.devices.shape):
+            axes[name] = (int(size), True)
+    except Exception:
+        pass
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is not None:
+        for name, size in (getattr(mesh, "shape", None) or {}).items():
+            axes[name] = (int(size), False)
+    return axes
+
+
 def _maybe_shard_seq(x: jnp.ndarray, axis: Optional[str]) -> jnp.ndarray:
     """Constrain [B, N, H] tokens to shard N over mesh axis ``axis`` when an
-    ambient mesh carrying that axis exists; no-op otherwise."""
+    ambient mesh carrying that axis exists; no-op otherwise (including the
+    legacy-mesh case where N (patches + CLS) isn't divisible by the axis —
+    the constraint would be a hard error there)."""
     if not axis:
         return x
-    mesh = jax.sharding.get_abstract_mesh()
-    if mesh is None or axis not in (getattr(mesh, "axis_names", None) or ()):
+    info = _ambient_axes().get(axis)
+    if info is None:
+        return x
+    size, strict = info
+    if strict and x.shape[1] % size != 0:
         return x
     return jax.lax.with_sharding_constraint(x, PartitionSpec(None, axis, None))
 

@@ -245,6 +245,13 @@ class TentAdapter:
                     "state resets per batch, so adaptation cannot affect any "
                     "prediction — use episodic=false (continual) or steps>1"
                 )
+            if self.md_enabled and self.steps == 1:
+                self.logger.warning(
+                    "[tent] predict=inline runs the final (here: only) step "
+                    "on the CLEAN batch so served predictions are never "
+                    "dropout-corrupted — with steps=1 modality_dropout "
+                    "therefore never applies; use steps>1"
+                )
         param_mask = self._param_mask(state.params)
         tx = self._build_tx()
         self._tx = tx
@@ -354,10 +361,10 @@ class TentAdapter:
 
             objective = windowed_loss_of if window_enabled else loss_of
 
-            def grad_step(trainable, bs, opt_state, key):
+            def grad_step(trainable, bs, opt_state, key, dropout: bool):
                 k_md, k_obj = jax.random.split(key)
                 x = image
-                if md_enabled:
+                if dropout:
                     x = modality_dropout(k_md, x, prob=md_prob)
                 (ent, (new_bs, logits)), grads = jax.value_and_grad(
                     objective, has_aux=True
@@ -368,7 +375,9 @@ class TentAdapter:
 
             def one_step(carry, key):
                 trainable, bs, opt_state = carry
-                trainable, bs, opt_state, ent, _ = grad_step(trainable, bs, opt_state, key)
+                trainable, bs, opt_state, ent, _ = grad_step(
+                    trainable, bs, opt_state, key, md_enabled
+                )
                 return (trainable, bs, opt_state), ent
 
             keys = jax.random.split(rng, steps)
@@ -376,12 +385,15 @@ class TentAdapter:
             if inline:
                 # official online-Tent protocol: the LAST adaptation step runs
                 # outside the scan so its forward's logits double as the
-                # predictions (no extra post-adaptation forward)
+                # predictions (no extra post-adaptation forward). That final
+                # forward must see the CLEAN batch — served predictions may
+                # never be computed on dropout-corrupted inputs — so modality
+                # dropout applies only to the preceding steps.
                 (trainable, batch_stats, opt_state), ents_head = jax.lax.scan(
                     one_step, (trainable0, batch_stats, opt_state), keys[:-1]
                 )
                 trainable, batch_stats, opt_state, ent, logits = grad_step(
-                    trainable, batch_stats, opt_state, keys[-1]
+                    trainable, batch_stats, opt_state, keys[-1], dropout=False
                 )
                 ents = jnp.concatenate([ents_head, ent[None]])
                 params = combine(trainable, frozen)

@@ -26,7 +26,10 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 from multimodal_tta_tpu.conf import compose, setup_run_dir
+from multimodal_tta_tpu.utils.jax_setup import apply_platform_env
 from multimodal_tta_tpu.utils.logger import setup_logger
+
+apply_platform_env()  # honor JAX_PLATFORMS under sitecustomize pins
 
 
 DEFAULT_CENTERS = ["CHUS", "CHUM", "CHGJ", "CHMR", "CHUP"]

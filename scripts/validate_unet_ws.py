@@ -22,8 +22,9 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
-from multimodal_tta_tpu.utils.jax_setup import enable_compilation_cache  # noqa: E402
+from multimodal_tta_tpu.utils.jax_setup import apply_platform_env, enable_compilation_cache  # noqa: E402
 
+apply_platform_env()  # honor JAX_PLATFORMS under sitecustomize pins
 enable_compilation_cache()
 
 

@@ -112,6 +112,39 @@ class TestViT:
         np.testing.assert_allclose(np.asarray(feats), np.asarray(ref_feats), atol=2e-5)
         np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits), atol=2e-5)
 
+    def test_sequence_parallel_engages_under_legacy_mesh_context(self, rng_key):
+        """The framework runs everything under legacy ``with mesh:`` blocks,
+        where get_abstract_mesh() is EMPTY on jax 0.9 — the constraint must
+        still engage there (it silently no-opped before; caught in round-2
+        review)."""
+        from multimodal_tta_tpu.models.vit import _ambient_axes
+        from multimodal_tta_tpu.parallel.mesh import make_mesh
+
+        assert "space" not in _ambient_axes()
+        # 48px / patch16 -> 3x3 patches + CLS = 10 tokens, divisible by space=2
+        mesh = make_mesh(jax.devices()[:4], data=2, space=2)
+        with mesh:
+            assert _ambient_axes()["space"] == (2, True)
+            cfg = ConfigNode({"num_classes": 3, "image_size": 48})
+            sharded = get_model("vit_b_16").from_config(cfg, seq_shard_axis="space")
+            x = jnp.asarray(np.random.RandomState(0).randn(2, 48, 48, 3), jnp.float32)
+            v = sharded.init(rng_key, x, train=False)
+            feats, _ = jax.jit(lambda v, x: sharded.apply(v, x, train=False))(v, x)
+        plain = get_model("vit_b_16").from_config(ConfigNode({"num_classes": 3, "image_size": 48}))
+        ref_feats, _ = plain.apply(v, x, train=False)
+        np.testing.assert_allclose(np.asarray(feats), np.asarray(ref_feats), atol=2e-5)
+
+        # indivisible token count (64px -> 17 tokens, space=4): the guard
+        # must NO-OP rather than raise the pjit divisibility error
+        mesh4 = make_mesh(jax.devices()[:8], data=2, space=4)
+        with mesh4:
+            cfg = ConfigNode({"num_classes": 3, "image_size": 64})
+            s2 = get_model("vit_b_16").from_config(cfg, seq_shard_axis="space")
+            x2 = jnp.zeros((2, 64, 64, 3), jnp.float32)
+            v2 = s2.init(rng_key, x2, train=False)
+            f2, _ = jax.jit(lambda v, x: s2.apply(v, x, train=False))(v2, x2)
+            assert f2.shape == (2, 768)
+
     def test_seq_shard_axis_without_mesh_is_noop(self, rng_key):
         m = get_model("vit_b_16").from_config(
             ConfigNode({"num_classes": 3, "image_size": 32}), seq_shard_axis="space"

@@ -148,6 +148,27 @@ class TestShardedOrbax:
             np.asarray(restored.batch_stats["acc"]), np.arange(32.0).reshape(8, 4)
         )
 
+    def test_newer_msgpack_beats_stale_orbax(self, tmp_path):
+        """A run that switched checkpoint_format leaves BOTH formats at the
+        same path; the sidecar is shared, so auto-detect must restore the
+        NEWER payload (previously the stale orbax dir silently won)."""
+        import time as _time
+
+        from multimodal_tta_tpu.core.checkpoint import save_checkpoint_sharded
+
+        mesh = self._mesh()
+        path = str(tmp_path / "both")
+        save_checkpoint_sharded(path, self._sharded_state(mesh), {"epoch": 1})
+        _time.sleep(0.05)
+        fresh = make_state(seed=3)
+        save_checkpoint(path, fresh, {"epoch": 9})
+        restored, extra = load_checkpoint(path, make_state(seed=7))
+        assert extra["epoch"] == 9
+        np.testing.assert_allclose(
+            np.asarray(restored.params["dense"]["kernel"]),
+            np.asarray(fresh.params["dense"]["kernel"]),
+        )
+
     def test_restore_onto_different_mesh_layout(self, tmp_path):
         """A checkpoint written on a 4x2 mesh restores onto an 8x1 mesh —
         shards are re-laid-out per the TEMPLATE's shardings."""

@@ -431,6 +431,22 @@ class TestInlinePredict:
         )
         assert moved
 
+    def test_inline_serves_clean_predictions_under_modality_dropout(self):
+        """The inline prediction forward must see the CLEAN batch: with
+        modality dropout enabled, steps=1 inline predictions still equal the
+        plain source forward (dropout applies only to preceding steps)."""
+        state = make_state()
+        cfg = full_cfg(
+            tent_cfg(steps=1, modality_dropout={"enabled": True, "prob": 1.0})
+        )
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+        ap = adapter.make_adapt_predict_fn(state, threshold=0.5, predict_mode="inline")
+        x = jnp.asarray(np.random.RandomState(21).randn(2, 16, 16, 16, 2), jnp.float32)
+        _, pred = ap(state, x, 2)
+        logits = state.apply_fn({"params": state.params}, x, train=False)
+        expect = (jax.nn.sigmoid(logits) >= 0.5).astype(jnp.uint8)
+        assert np.array_equal(np.asarray(pred), np.asarray(expect))
+
     def test_inline_rejects_windowed(self):
         state = make_state()
         cfg = full_cfg(
