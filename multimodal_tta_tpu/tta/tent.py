@@ -140,6 +140,15 @@ class TentAdapter:
         if self.predict_mode not in ("post", "inline"):
             raise ValueError(f"[tent] unknown predict mode: {self.predict_mode}")
 
+        # entropy focus: "all" = plain volume-mean Tent objective;
+        # "uncertain" = self-normalized entropy (voxels weighted by their own
+        # stop-gradient entropy) — in dense 3D segmentation the volume mean
+        # is diluted by confident background voxels and its gradients vanish
+        # (ops/losses.py entropy_loss docstring has the measurement)
+        self.entropy_focus = str(get_config(self.cfg, "entropy_focus", "all")).lower()
+        if self.entropy_focus not in ("all", "uncertain"):
+            raise ValueError(f"[tent] unknown entropy_focus: {self.entropy_focus}")
+
         # loss: "entropy" (Tent) or "entropy+consistency" (adds an invariance
         # term between predictions on the batch and an intensity-jittered view)
         self.loss_mode = str(get_config(self.cfg, "loss", "entropy")).lower()
@@ -264,6 +273,7 @@ class TentAdapter:
         cons_weight = self.cons_weight
         cons_scale = self.cons_scale
         cons_shift = self.cons_shift
+        entropy_focus = self.entropy_focus
         window_enabled = self.window_enabled
         window_roi = self.window_roi
         windows_per_step = self.windows_per_step
@@ -301,7 +311,9 @@ class TentAdapter:
 
             def loss_of(trainable, bs, x, key):
                 logits, new_bs = forward(trainable, bs, x)
-                per_sample = jax.vmap(lambda lg: entropy_loss(lg[None], sigmoid=sigmoid_mode))(
+                per_sample = jax.vmap(
+                    lambda lg: entropy_loss(lg[None], sigmoid=sigmoid_mode, focus=entropy_focus)
+                )(
                     logits
                 )
                 loss = jnp.sum(per_sample * mask) / denom
@@ -345,7 +357,7 @@ class TentAdapter:
                 k_crop, k_cons = jax.random.split(key)
                 wins = crop_windows(k_crop, x)  # all windows come from valid samples
                 logits, new_bs = forward(trainable, bs, wins)
-                loss = entropy_loss(logits, sigmoid=sigmoid_mode)
+                loss = entropy_loss(logits, sigmoid=sigmoid_mode, focus=entropy_focus)
                 if use_consistency:
                     wins2 = rand_intensity_scale_shift(
                         k_cons, wins, scale=cons_scale, shift=cons_shift, prob=1.0

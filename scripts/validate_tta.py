@@ -71,8 +71,11 @@ def ensure_fixture(root: str) -> str:
     )
 
 
-def train_source(manifest: str, epochs: int, out_root: str):
-    """Train the flagship UNet on the source centers; returns (manager, cfg)."""
+def train_source(manifest: str, epochs: int, out_root: str, resume: str = None):
+    """Train the flagship UNet on the source centers; returns (manager, cfg).
+    With ``resume`` (a checkpoint path sans extension), training is skipped
+    and the checkpoint is loaded instead — re-evaluating new TTA configs
+    against an already-trained source model costs no retraining."""
     from multimodal_tta_tpu.conf import compose, setup_run_dir
     from multimodal_tta_tpu.core import ExperimentManager
     from multimodal_tta_tpu.utils.logger import setup_logger
@@ -111,6 +114,12 @@ def train_source(manifest: str, epochs: int, out_root: str):
     manager.setup_optimizer()
     manager.setup_scheduler()
     manager.setup_trainer(run_dir)
+    if resume:
+        from multimodal_tta_tpu.core.checkpoint import load_checkpoint
+
+        manager.state, _ = load_checkpoint(str(resume), manager.state)
+        print(f"[validate_tta] loaded source checkpoint {resume}", file=sys.stderr)
+        return manager, cfg
     t0 = time.perf_counter()
     manager.train(cfg.training.epochs)
     print(f"[validate_tta] source training {time.perf_counter() - t0:.0f}s",
@@ -129,7 +138,8 @@ def eval_mode(manager, cfg, test_loader, device_transform, tta_over: dict):
         return engine.evaluate(manager.state, test_loader)
 
 
-def eval_inline(manager, cfg, test_loader, device_transform, steps: int, lr: float):
+def eval_inline(manager, cfg, test_loader, device_transform, steps: int, lr: float,
+                focus: str = "all"):
     """Online protocol: Dice of the inline predictions themselves (continual
     stream over the target center)."""
     import numpy as np
@@ -141,7 +151,8 @@ def eval_inline(manager, cfg, test_loader, device_transform, steps: int, lr: flo
 
     tta_cfg = ConfigNode(
         {"method": "tent", "steps": steps, "lr": lr, "optimizer": "sgd",
-         "momentum": 0.9, "update": "norm", "episodic": False}
+         "momentum": 0.9, "update": "norm", "episodic": False,
+         "entropy_focus": focus}
     )
     adapter = TentAdapter(tta_cfg, config=cfg, mesh=manager.mesh,
                           device_transform=device_transform)
@@ -172,12 +183,17 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=24)
     ap.add_argument("--steps-list", type=int, nargs="+", default=[1, 4])
     ap.add_argument("--lrs", type=float, nargs="+", default=[1e-3, 1e-2])
+    ap.add_argument("--focus-list", nargs="+", default=["all", "uncertain"],
+                    help="tta.entropy_focus values to sweep")
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint path (sans extension) — skip training")
     ap.add_argument("--fixture", default=os.path.join(REPO_ROOT, ".tta_validate_fixture"))
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     manifest = ensure_fixture(args.fixture)
-    manager, cfg = train_source(manifest, args.epochs, os.path.join(args.fixture, "runs"))
+    manager, cfg = train_source(manifest, args.epochs, os.path.join(args.fixture, "runs"),
+                                resume=args.resume)
 
     test_loader = manager._builder.get_loader("test")
     device_transform = None
@@ -198,33 +214,37 @@ def main() -> None:
     print(json.dumps(rows[-1]))
 
     best = {"delta": 0.0, "mode": "no_adapt"}
-    for steps in args.steps_list:
-        for lr in args.lrs:
-            base = dict(steps=steps, lr=lr, optimizer="sgd", momentum=0.9,
-                        update="norm", modality_dropout={"enabled": False})
-            for name, tta in (
-                ("tent_episodic", {"method": "tent", "episodic": True, **base}),
-                ("tent_continual", {"method": "tent", "episodic": False, **base}),
-            ):
-                m = eval_mode(manager, cfg, test_loader, device_transform, tta)
-                row = {"mode": name, "steps": steps, "lr": lr,
-                       "avg_dc": round(float(m.get("avg_dc", 0.0)), 4)}
+    for focus in args.focus_list:
+        for steps in args.steps_list:
+            for lr in args.lrs:
+                base = dict(steps=steps, lr=lr, optimizer="sgd", momentum=0.9,
+                            update="norm", entropy_focus=focus,
+                            modality_dropout={"enabled": False})
+                for name, tta in (
+                    ("tent_episodic", {"method": "tent", "episodic": True, **base}),
+                    ("tent_continual", {"method": "tent", "episodic": False, **base}),
+                ):
+                    m = eval_mode(manager, cfg, test_loader, device_transform, tta)
+                    row = {"mode": name, "focus": focus, "steps": steps, "lr": lr,
+                           "avg_dc": round(float(m.get("avg_dc", 0.0)), 4)}
+                    row["delta_vs_no_adapt"] = round(row["avg_dc"] - no_adapt, 4)
+                    rows.append(row)
+                    print(json.dumps(row))
+                    if row["delta_vs_no_adapt"] > best["delta"]:
+                        best = {"delta": row["delta_vs_no_adapt"], "mode": name,
+                                "focus": focus, "steps": steps, "lr": lr}
+                m = eval_inline(manager, cfg, test_loader, device_transform,
+                                steps, lr, focus)
+                row = {"mode": "tent_online_inline", "focus": focus, "steps": steps,
+                       "lr": lr, "avg_dc": round(float(m["avg_dc"]), 4),
+                       "entropy": round(m["entropy"], 5) if m.get("entropy") is not None else None}
                 row["delta_vs_no_adapt"] = round(row["avg_dc"] - no_adapt, 4)
                 rows.append(row)
                 print(json.dumps(row))
                 if row["delta_vs_no_adapt"] > best["delta"]:
-                    best = {"delta": row["delta_vs_no_adapt"], "mode": name,
+                    best = {"delta": row["delta_vs_no_adapt"],
+                            "mode": "tent_online_inline", "focus": focus,
                             "steps": steps, "lr": lr}
-            m = eval_inline(manager, cfg, test_loader, device_transform, steps, lr)
-            row = {"mode": "tent_online_inline", "steps": steps, "lr": lr,
-                   "avg_dc": round(float(m["avg_dc"]), 4),
-                   "entropy": round(m["entropy"], 5) if m.get("entropy") is not None else None}
-            row["delta_vs_no_adapt"] = round(row["avg_dc"] - no_adapt, 4)
-            rows.append(row)
-            print(json.dumps(row))
-            if row["delta_vs_no_adapt"] > best["delta"]:
-                best = {"delta": row["delta_vs_no_adapt"], "mode": "tent_online_inline",
-                        "steps": steps, "lr": lr}
 
     verdict = {"no_adapt_avg_dc": no_adapt, "best": best}
     print(json.dumps(verdict))

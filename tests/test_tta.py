@@ -491,3 +491,56 @@ class TestInlinePredict:
             jax.tree_util.tree_leaves(cur_m.params), jax.tree_util.tree_leaves(cur_1.params)
         ):
             assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+class TestEntropyFocus:
+    def test_uncertain_focus_concentrates_objective(self):
+        """Self-normalized entropy ignores the confident-background dilution:
+        with 1M confident voxels and 100 uncertain ones, the focused value
+        tracks the uncertain voxels' entropy while the plain mean vanishes."""
+        from multimodal_tta_tpu.ops.losses import entropy_loss
+
+        logits = np.full((1, 100, 100, 100, 1), 12.0, np.float32)  # saturated
+        logits.reshape(-1)[:100] = 0.1  # a few uncertain voxels (H ~ ln2)
+        logits = jnp.asarray(logits)
+        plain = float(entropy_loss(logits, sigmoid=True))
+        focused = float(entropy_loss(logits, sigmoid=True, focus="uncertain"))
+        assert plain < 1e-3
+        # the uncertain voxels carry most of the weight (they would need to
+        # be ~ln2 for full dominance; the background's residual H still
+        # contributes at this extreme 1e-4 uncertain fraction)
+        assert focused > 300 * plain
+
+    def test_uncertain_focus_gradient_orders_larger(self):
+        from multimodal_tta_tpu.ops.losses import entropy_loss
+
+        logits = np.full((1, 32, 32, 32, 1), 10.0, np.float32)
+        logits.reshape(-1)[:50] = 0.2
+        logits = jnp.asarray(logits)
+        g_all = jax.grad(lambda l: entropy_loss(l, sigmoid=True))(logits)
+        g_unc = jax.grad(lambda l: entropy_loss(l, sigmoid=True, focus="uncertain"))(logits)
+        assert float(jnp.abs(g_unc).max()) > 100 * float(jnp.abs(g_all).max())
+
+    def test_adapter_with_uncertain_focus_reduces_entropy(self):
+        state = make_state()
+        cfg = full_cfg(tent_cfg(steps=2, lr=1e-2, entropy_focus="uncertain"))
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+        adapt_fn = adapter.make_adapt_fn(state)
+        x = jnp.asarray(np.random.RandomState(3).randn(2, 16, 16, 16, 2), jnp.float32)
+        from multimodal_tta_tpu.ops.losses import entropy_loss
+
+        logits0 = state.apply_fn({"params": state.params}, x, train=False)
+        e0 = float(entropy_loss(logits0, sigmoid=True, focus="uncertain"))
+        s1 = adapt_fn(state, x, 2)
+        logits1 = s1.apply_fn({"params": s1.params}, x, train=False)
+        e1 = float(entropy_loss(logits1, sigmoid=True, focus="uncertain"))
+        assert e1 < e0
+
+    def test_bad_focus_rejected(self):
+        from multimodal_tta_tpu.ops.losses import entropy_loss
+
+        with pytest.raises(ValueError, match="focus"):
+            entropy_loss(jnp.zeros((1, 2, 2, 2, 1)), sigmoid=True, focus="nope")
+        cfg = full_cfg()
+        with pytest.raises(ValueError, match="entropy_focus"):
+            TentAdapter(tent_cfg(entropy_focus="nope"), config=cfg)
