@@ -146,6 +146,9 @@ def main() -> None:
     ap.add_argument("--drop-mod", type=int, default=1, help="channel to zero (1 = t1c)")
     ap.add_argument("--steps-list", type=int, nargs="+", default=[1, 4])
     ap.add_argument("--lrs", type=float, nargs="+", default=[1e-3, 1e-2])
+    ap.add_argument("--focus-list", nargs="+", default=["uncertain"],
+                    help="tta.entropy_focus values to sweep (HECKTOR "
+                    "validation showed plain volume-mean entropy stalls)")
     ap.add_argument("--fixture", default=os.path.join(REPO_ROOT, ".tta_validate_brats_fixture"))
     ap.add_argument("--shape", type=int, nargs=3, default=[96, 96, 64], help="X Y Z")
     ap.add_argument("--n-train", type=int, default=24)
@@ -184,25 +187,27 @@ def main() -> None:
     print(json.dumps(rows[-1]))
 
     best = {"delta": 0.0, "mode": "no_adapt"}
-    for steps in args.steps_list:
-        for lr in args.lrs:
-            base = dict(steps=steps, lr=lr, optimizer="sgd", momentum=0.9,
-                        update="norm", episodic=True)
-            for name, tta in (
-                ("tent", {"method": "tent",
-                          "modality_dropout": {"enabled": False}, **base}),
-                ("tent_mod_dropout", {"method": "tent",
-                                      "modality_dropout": {"enabled": True, "prob": 0.25},
-                                      **base}),
-            ):
-                m = eval_mode(manager, cfg, shifted, device_transform, tta)
-                row = {"mode": name, "steps": steps, "lr": lr, **report(m)}
-                row["delta_avg_dc"] = round(row["avg_dc"] - no_adapt["avg_dc"], 4)
-                rows.append(row)
-                print(json.dumps(row))
-                if row["delta_avg_dc"] > best["delta"]:
-                    best = {"delta": row["delta_avg_dc"], "mode": name,
-                            "steps": steps, "lr": lr}
+    for focus in args.focus_list:
+        for steps in args.steps_list:
+            for lr in args.lrs:
+                base = dict(steps=steps, lr=lr, optimizer="sgd", momentum=0.9,
+                            update="norm", episodic=True, entropy_focus=focus)
+                for name, tta in (
+                    ("tent", {"method": "tent",
+                              "modality_dropout": {"enabled": False}, **base}),
+                    ("tent_mod_dropout", {"method": "tent",
+                                          "modality_dropout": {"enabled": True, "prob": 0.25},
+                                          **base}),
+                ):
+                    m = eval_mode(manager, cfg, shifted, device_transform, tta)
+                    row = {"mode": name, "focus": focus, "steps": steps, "lr": lr,
+                           **report(m)}
+                    row["delta_avg_dc"] = round(row["avg_dc"] - no_adapt["avg_dc"], 4)
+                    rows.append(row)
+                    print(json.dumps(row))
+                    if row["delta_avg_dc"] > best["delta"]:
+                        best = {"delta": row["delta_avg_dc"], "mode": name,
+                                "focus": focus, "steps": steps, "lr": lr}
 
     verdict = {"missing_modality": MODS[args.drop_mod],
                "no_adapt_avg_dc": no_adapt["avg_dc"], "best": best}
