@@ -24,7 +24,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
@@ -76,9 +75,7 @@ def train_source(manifest: str, epochs: int, out_root: str, resume: str = None):
     With ``resume`` (a checkpoint path sans extension), training is skipped
     and the checkpoint is loaded instead — re-evaluating new TTA configs
     against an already-trained source model costs no retraining."""
-    from multimodal_tta_tpu.conf import compose, setup_run_dir
-    from multimodal_tta_tpu.core import ExperimentManager
-    from multimodal_tta_tpu.utils.logger import setup_logger
+    from _validate_common import bring_up
 
     overrides = [
         "task=hecktor21",
@@ -104,38 +101,14 @@ def train_source(manifest: str, epochs: int, out_root: str, resume: str = None):
         f"task.save_dir={out_root}",
         "task.run_name=tta_validate",
     ]
-    cfg = compose(os.path.join(REPO_ROOT, "configs"), "config", overrides)
-    run_dir = setup_run_dir(cfg)
-    setup_logger(log_file=os.path.join(run_dir, "train.log"))
-
-    manager = ExperimentManager(cfg)
-    manager.setup_model()
-    manager.setup_data(mode="train")
-    manager.setup_optimizer()
-    manager.setup_scheduler()
-    manager.setup_trainer(run_dir)
-    if resume:
-        from multimodal_tta_tpu.core.checkpoint import load_checkpoint
-
-        manager.state, _ = load_checkpoint(str(resume), manager.state)
-        print(f"[validate_tta] loaded source checkpoint {resume}", file=sys.stderr)
-        return manager, cfg
-    t0 = time.perf_counter()
-    manager.train(cfg.training.epochs)
-    print(f"[validate_tta] source training {time.perf_counter() - t0:.0f}s",
-          file=sys.stderr)
-    return manager, cfg
+    return bring_up(overrides, epochs=epochs, resume=resume, tag="validate_tta")
 
 
 def eval_mode(manager, cfg, test_loader, device_transform, tta_over: dict):
     """Evaluate the test split under one TTA configuration; returns metrics."""
-    from multimodal_tta_tpu.tta import TTAEngine
+    from _validate_common import engine_eval
 
-    c = cfg.copy()
-    c.tta = tta_over
-    engine = TTAEngine(c, mesh=manager.mesh, device_transform=device_transform)
-    with manager.mesh:
-        return engine.evaluate(manager.state, test_loader)
+    return engine_eval(manager, cfg, test_loader, device_transform, tta_over)
 
 
 def eval_inline(manager, cfg, test_loader, device_transform, steps: int, lr: float,
@@ -195,10 +168,10 @@ def main() -> None:
     manager, cfg = train_source(manifest, args.epochs, os.path.join(args.fixture, "runs"),
                                 resume=args.resume)
 
+    from _validate_common import device_transform_of
+
     test_loader = manager._builder.get_loader("test")
-    device_transform = None
-    if hasattr(manager._builder, "build_transform"):
-        device_transform = manager._builder.build_transform("test").device_spec()
+    device_transform = device_transform_of(manager)
 
     rows = []
     val_loader = manager._builder.get_loader("val")

@@ -56,9 +56,7 @@ def ensure_fixture(root: str, shape=(96, 96, 64), n_train=24, n_test=8,
 
 
 def train_source(csvs, epochs: int, out_root: str, shape, extra=()):
-    from multimodal_tta_tpu.conf import compose, setup_run_dir
-    from multimodal_tta_tpu.core import ExperimentManager
-    from multimodal_tta_tpu.utils.logger import setup_logger
+    from _validate_common import bring_up
 
     x, y, z = (int(s) for s in shape)
     overrides = [
@@ -83,29 +81,19 @@ def train_source(csvs, epochs: int, out_root: str, shape, extra=()):
         f"task.save_dir={out_root}",
         "task.run_name=tta_validate_brats",
     ] + list(extra)
-    cfg = compose(os.path.join(REPO_ROOT, "configs"), "config", overrides)
-    # sources are a list — point the first (and only) one at the fixture,
-    # drop the rest (ssa/ped defaults point at nonexistent csvs)
-    cfg.dataset.sources = [cfg.dataset.sources[0].to_container()
-                           if hasattr(cfg.dataset.sources[0], "to_container")
-                           else dict(cfg.dataset.sources[0])]
-    cfg.dataset.sources[0]["csv_path"] = csvs["glipre"]
-    cfg.dataset.sources[0]["include_splits"] = {
-        "train": ["train"], "val": ["test"], "test": ["test"]}
 
-    run_dir = setup_run_dir(cfg)
-    setup_logger(log_file=os.path.join(run_dir, "train.log"))
-    manager = ExperimentManager(cfg)
-    manager.setup_model()
-    manager.setup_data(mode="train")
-    manager.setup_optimizer()
-    manager.setup_scheduler()
-    manager.setup_trainer(run_dir)
-    t0 = time.perf_counter()
-    manager.train(cfg.training.epochs)
-    print(f"[validate_tta_brats] source training {time.perf_counter() - t0:.0f}s",
-          file=sys.stderr)
-    return manager, cfg
+    def point_sources_at_fixture(cfg):
+        # sources are a list — point the first (and only) one at the fixture,
+        # drop the rest (ssa/ped defaults point at nonexistent csvs)
+        cfg.dataset.sources = [cfg.dataset.sources[0].to_container()
+                               if hasattr(cfg.dataset.sources[0], "to_container")
+                               else dict(cfg.dataset.sources[0])]
+        cfg.dataset.sources[0]["csv_path"] = csvs["glipre"]
+        cfg.dataset.sources[0]["include_splits"] = {
+            "train": ["train"], "val": ["test"], "test": ["test"]}
+
+    return bring_up(overrides, epochs=epochs, mutate_cfg=point_sources_at_fixture,
+                    tag="validate_tta_brats")
 
 
 class DropModalityLoader:
@@ -131,13 +119,9 @@ class DropModalityLoader:
 
 
 def eval_mode(manager, cfg, loader, device_transform, tta_over: dict):
-    from multimodal_tta_tpu.tta import TTAEngine
+    from _validate_common import engine_eval
 
-    c = cfg.copy()
-    c.tta = tta_over
-    engine = TTAEngine(c, mesh=manager.mesh, device_transform=device_transform)
-    with manager.mesh:
-        return engine.evaluate(manager.state, loader)
+    return engine_eval(manager, cfg, loader, device_transform, tta_over)
 
 
 def main() -> None:
@@ -163,12 +147,10 @@ def main() -> None:
     manager, cfg = train_source(csvs, args.epochs, os.path.join(args.fixture, "runs"),
                                 args.shape, args.extra)
 
+    from _validate_common import device_transform_of
+
     test_loader = manager._builder.get_loader("test")
-    device_transform = None
-    if hasattr(manager._builder, "build_transform"):
-        t = manager._builder.build_transform("test")
-        if t is not None and hasattr(t, "device_spec"):
-            device_transform = t.device_spec()
+    device_transform = device_transform_of(manager)
 
     def report(m):
         return {k: round(float(m.get(k, 0.0)), 4)

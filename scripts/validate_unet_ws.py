@@ -16,7 +16,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
@@ -46,9 +45,7 @@ def ensure_fixture(root: str) -> str:
 
 
 def run_one(model_name: str, manifest: str, epochs: int, out_root: str) -> dict:
-    from multimodal_tta_tpu.conf import compose, setup_run_dir
-    from multimodal_tta_tpu.core import ExperimentManager
-    from multimodal_tta_tpu.utils.logger import setup_logger
+    from _validate_common import bring_up
 
     overrides = [
         "task=hecktor21",
@@ -74,20 +71,9 @@ def run_one(model_name: str, manifest: str, epochs: int, out_root: str) -> dict:
         f"task.save_dir={out_root}",
         f"task.run_name=ws_validate_{model_name}",
     ]
-    cfg = compose(os.path.join(REPO_ROOT, "configs"), "config", overrides)
-    run_dir = setup_run_dir(cfg)
-    setup_logger(log_file=os.path.join(run_dir, "train.log"))
-
-    manager = ExperimentManager(cfg)
-    manager.setup_model()
-    manager.setup_data(mode="train")
-    manager.setup_optimizer()
-    manager.setup_scheduler()
-    manager.setup_trainer(run_dir)
-
-    t0 = time.perf_counter()
-    results = manager.train(cfg.training.epochs)
-    wall = time.perf_counter() - t0
+    manager, cfg = bring_up(overrides, epochs=epochs, tag="validate_ws")
+    results = manager.last_train_results
+    wall = manager.last_train_wall_s
 
     evals = results.get("eval_history", [])
     best_val = max((e.get("avg_dc", 0.0) for e in evals), default=0.0)
