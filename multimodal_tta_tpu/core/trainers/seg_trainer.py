@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...conf.node import ConfigNode
-from ...ops.augment import rand_intensity_scale_shift
+from ...ops.augment import modality_dropout, rand_intensity_scale_shift
 from ...ops.intensity import make_intensity_normalizer
 from ...ops.losses import make_dice_ce_loss
 from ...parallel.mesh import (
@@ -89,6 +89,8 @@ class SegTrainer(TrainerBase):
         int_scale = float(self.device_transform.get("int_scale", 0.1))
         int_shift = float(self.device_transform.get("int_shift", 0.1))
         int_prob = float(self.device_transform.get("int_prob", 0.5))
+        do_mod_drop = bool(self.device_transform.get("modality_dropout"))
+        mod_drop_prob = float(self.device_transform.get("modality_dropout_prob", 0.25))
         loss_fn = self.loss_fn
         sigmoid = self.sigmoid
 
@@ -96,6 +98,11 @@ class SegTrainer(TrainerBase):
             image = image.astype(jnp.float32)  # upcast compact transfer dtypes
             if norm_fn is not None:
                 image = jax.vmap(norm_fn)(image)
+            if do_mod_drop:
+                # train-time missing-modality robustness (the rng split keeps
+                # the int-aug stream unchanged when this aug is off)
+                rng, k_md = jax.random.split(rng)
+                image = modality_dropout(k_md, image, prob=mod_drop_prob)
             if do_int_aug:
                 image = rand_intensity_scale_shift(
                     rng, image, scale=int_scale, shift=int_shift, prob=int_prob

@@ -356,6 +356,7 @@ class BratsMultiNiftiBuilder(BaseDatasetBuilder):
             intensity_policy=get_config(tcfg, "intensity_policy", None),
             channel_names=list(self.modality_order),
             on_device=bool(get_config(tcfg, "on_device", False)),
+            modality_dropout=get_config(tcfg, "modality_dropout", None),
         )
 
     def build_dataset(self, split: str, **overrides) -> Optional[BratsMultiSourceNiftiDataset]:

@@ -394,6 +394,7 @@ class Hecktor21Builder(BaseDatasetBuilder):
             intensity_policy=intensity_policy,
             channel_names=self.channel_names,
             on_device=on_device,
+            modality_dropout=get_config(tcfg, "modality_dropout", None),
         )
 
     def build_dataset(self, split: str, **overrides) -> Optional[Hecktor21Dataset]:

@@ -171,6 +171,7 @@ class SegTransform:
         int_scale: float = 0.1,
         int_shift: float = 0.1,
         int_prob: float = 0.5,
+        modality_dropout: Any = None,
     ):
         split = str(split).lower()
         self.is_train = split == "train"
@@ -189,6 +190,18 @@ class SegTransform:
         self.int_scale = float(int_scale)
         self.int_shift = float(int_shift)
         self.int_prob = float(int_prob)
+        # train-time modality dropout (missing-modality robustness): a
+        # DEVICE-side augmentation inside the jitted train step — the remedy
+        # for missing-modality deployment (adaptation-time dropout cannot
+        # recreate absent signal; measured in scripts/validate_tta_brats.py)
+        md = _to_plain_dict(modality_dropout) or {}
+        self.modality_dropout_enabled = bool(md.get("enabled", False)) and self.is_train
+        self.modality_dropout_prob = float(md.get("prob", 0.25))
+        if self.modality_dropout_enabled and not self.on_device:
+            raise ValueError(
+                "[transforms] modality_dropout is an on-device augmentation; "
+                "set training.data.transforms.on_device=true"
+            )
 
         self.expected_spatial: Optional[Tuple[int, int, int]] = None
         if image_size is not None:
@@ -208,6 +221,8 @@ class SegTransform:
             "int_scale": self.int_scale,
             "int_shift": self.int_shift,
             "int_prob": self.int_prob,
+            "modality_dropout": self.modality_dropout_enabled,
+            "modality_dropout_prob": self.modality_dropout_prob,
         }
 
     def __call__(
@@ -276,6 +291,7 @@ def get_seg_transforms(
     intensity_policy: Any = None,
     channel_names: Optional[Sequence[str]] = None,
     on_device: bool = False,
+    modality_dropout: Any = None,
 ) -> SegTransform:
     """Unified entry (3D only), API parity with reference transforms.py:344-382."""
     if ndim != 3:
@@ -293,4 +309,5 @@ def get_seg_transforms(
         intensity_policy=intensity_policy,
         channel_names=channel_names,
         on_device=on_device,
+        modality_dropout=modality_dropout,
     )

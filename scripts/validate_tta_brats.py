@@ -139,6 +139,9 @@ def main() -> None:
     ap.add_argument("--n-test", type=int, default=8)
     ap.add_argument("--radius-range", type=float, nargs=2, default=[8.0, 16.0])
     ap.add_argument("--extra", nargs="*", default=[], help="extra config overrides")
+    ap.add_argument("--train-dropout", action="store_true",
+                    help="also train a model WITH train-time modality dropout "
+                    "and evaluate it under the missing modality")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -190,6 +193,33 @@ def main() -> None:
                     if row["delta_avg_dc"] > best["delta"]:
                         best = {"delta": row["delta_avg_dc"], "mode": name,
                                 "focus": focus, "steps": steps, "lr": lr}
+
+    # --- the actual remedy: TRAIN-time modality dropout -------------------
+    # adaptation cannot recreate absent signal (rows above measure that);
+    # a source model trained with random modality dropout is robust to the
+    # missing modality by construction
+    if args.train_dropout:
+        mgr2, cfg2 = train_source(
+            csvs, args.epochs, os.path.join(args.fixture, "runs_md"), args.shape,
+            tuple(args.extra) + (
+                "task.run_name=tta_validate_brats_md",
+                "training.data.transforms.on_device=true",
+                "training.data.transforms.modality_dropout.enabled=true",
+                "training.data.transforms.modality_dropout.prob=0.35",
+            ),
+        )
+        dt2 = device_transform_of(mgr2)
+        test2 = mgr2._builder.get_loader("test")
+        m = eval_mode(mgr2, cfg2, test2, dt2, {"method": "none"})
+        rows.append({"mode": "trained_with_mod_dropout_clean", **report(m)})
+        print(json.dumps(rows[-1]))
+        m = eval_mode(mgr2, cfg2, DropModalityLoader(test2, args.drop_mod), dt2,
+                      {"method": "none"})
+        row = {"mode": f"trained_with_mod_dropout_missing_{MODS[args.drop_mod]}",
+               **report(m)}
+        row["delta_avg_dc"] = round(row["avg_dc"] - no_adapt["avg_dc"], 4)
+        rows.append(row)
+        print(json.dumps(row))
 
     verdict = {"missing_modality": MODS[args.drop_mod],
                "no_adapt_avg_dc": no_adapt["avg_dc"], "best": best}

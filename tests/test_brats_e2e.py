@@ -105,3 +105,43 @@ class TestBratsE2E:
         assert "dom/brats24_ssa/avg_dc" in metrics
         assert "dom/brats24_ped/avg_dc" in metrics
         assert np.isfinite(metrics["avg_dc"])
+
+
+class TestTrainTimeModalityDropout:
+    def test_trains_with_device_modality_dropout(self, brats_csvs, tmp_path):
+        cfg = brats_cfg(
+            brats_csvs, tmp_path,
+            extra=("training.data.transforms.on_device=true",
+                   "training.data.transforms.modality_dropout.enabled=true",
+                   "training.data.transforms.modality_dropout.prob=0.5"),
+        )
+        for i, name in enumerate(["glipre", "ssa", "ped"]):
+            cfg.dataset.sources[i]["csv_path"] = brats_csvs[name]
+        mgr = ExperimentManager(cfg)
+        mgr.setup_model()
+        mgr.setup_data("train")
+        mgr.setup_optimizer()
+        mgr.setup_scheduler()
+        mgr.setup_trainer(str(tmp_path / "run_md"))
+        results = mgr.train(1)
+        assert np.isfinite(results["train_history"][0]["loss"])
+
+    def test_host_path_rejects_modality_dropout(self):
+        from multimodal_tta_tpu.data.transforms import get_seg_transforms
+
+        with pytest.raises(ValueError, match="on-device"):
+            get_seg_transforms(
+                ndim=3, split="train", normalize=False, geom_aug=False,
+                intensity_aug=False, on_device=False,
+                modality_dropout={"enabled": True, "prob": 0.5},
+            )
+
+    def test_eval_split_ignores_modality_dropout(self):
+        from multimodal_tta_tpu.data.transforms import get_seg_transforms
+
+        t = get_seg_transforms(
+            ndim=3, split="test", normalize=False, geom_aug=False,
+            intensity_aug=False, on_device=True,
+            modality_dropout={"enabled": True, "prob": 0.5},
+        )
+        assert t.device_spec()["modality_dropout"] is False
