@@ -7,12 +7,16 @@ Protocol:
   2. Train the multimodal mid-fusion UNet on the 4-modality source split.
   3. Evaluate the test split with one modality ZEROED (the missing-modality
      shift — e.g. t1c, which carries the enhancing-tumor contrast), under:
-     no-adapt, Tent, and Tent with modality dropout in the adaptation steps
-     (the adaptation-time augmentation that robustifies norm statistics to
-     absent modalities).
+     no-adapt, Tent, Tent + adaptation-time modality dropout, and (with
+     ``--train-dropout``) a second model trained WITH modality dropout.
+
+Measured conclusion (BASELINE.md): adaptation-time recipes cannot recreate
+absent signal (all within noise of no-adapt), while the train-time-dropout
+model recovers +0.29 of the missing-modality Dice gap — this script is the
+evidence for which knob to use.
 
     python scripts/validate_tta_brats.py [--epochs 24] [--drop-mod 1] \
-        [--steps-list 1 4] [--lrs 1e-3 1e-2] [--out r.json]
+        [--steps-list 1 4] [--lrs 1e-3 1e-2] [--train-dropout] [--out r.json]
 
 Prints one JSON line per mode and a verdict line.
 """
