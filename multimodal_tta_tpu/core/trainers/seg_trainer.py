@@ -96,13 +96,17 @@ class SegTrainer(TrainerBase):
 
         def step(state, image, label, rng, n_valid):
             image = image.astype(jnp.float32)  # upcast compact transfer dtypes
-            if norm_fn is not None:
-                image = jax.vmap(norm_fn)(image)
             if do_mod_drop:
-                # train-time missing-modality robustness (the rng split keeps
-                # the int-aug stream unchanged when this aug is off)
+                # train-time missing-modality robustness. Applied BEFORE
+                # normalization so training sees exactly what deployment
+                # produces for an absent modality (raw zeros pushed through
+                # the normalizer — under legacy mean/std those are NOT zeros
+                # in normalized space). The rng split keeps the int-aug
+                # stream unchanged when this aug is off.
                 rng, k_md = jax.random.split(rng)
                 image = modality_dropout(k_md, image, prob=mod_drop_prob)
+            if norm_fn is not None:
+                image = jax.vmap(norm_fn)(image)
             if do_int_aug:
                 image = rand_intensity_scale_shift(
                     rng, image, scale=int_scale, shift=int_shift, prob=int_prob

@@ -23,7 +23,6 @@ if REPO_ROOT not in sys.path:
 def bring_up(
     overrides: Sequence[str],
     *,
-    epochs: Optional[int] = None,
     resume: Optional[str] = None,
     mutate_cfg: Optional[Callable] = None,
     log_name: str = "train.log",
@@ -58,7 +57,10 @@ def bring_up(
         print(f"[{tag}] loaded source checkpoint {resume}", file=sys.stderr)
         return manager, cfg
 
-    n_epochs = int(epochs if epochs is not None else cfg.training.epochs)
+    # epoch count comes from cfg ONLY: schedulers/eval cadence/save gates are
+    # all derived from cfg.training.epochs, so a separate epochs argument
+    # could silently train past the configured schedule
+    n_epochs = int(cfg.training.epochs)
     t0 = time.perf_counter()
     results = manager.train(n_epochs)
     wall = time.perf_counter() - t0

@@ -101,7 +101,7 @@ def train_source(manifest: str, epochs: int, out_root: str, resume: str = None):
         f"task.save_dir={out_root}",
         "task.run_name=tta_validate",
     ]
-    return bring_up(overrides, epochs=epochs, resume=resume, tag="validate_tta")
+    return bring_up(overrides, resume=resume, tag="validate_tta")
 
 
 def eval_mode(manager, cfg, test_loader, device_transform, tta_over: dict):

@@ -27,7 +27,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
@@ -96,7 +95,7 @@ def train_source(csvs, epochs: int, out_root: str, shape, extra=()):
         cfg.dataset.sources[0]["include_splits"] = {
             "train": ["train"], "val": ["test"], "test": ["test"]}
 
-    return bring_up(overrides, epochs=epochs, mutate_cfg=point_sources_at_fixture,
+    return bring_up(overrides, mutate_cfg=point_sources_at_fixture,
                     tag="validate_tta_brats")
 
 
@@ -224,6 +223,8 @@ def main() -> None:
         row["delta_avg_dc"] = round(row["avg_dc"] - no_adapt["avg_dc"], 4)
         rows.append(row)
         print(json.dumps(row))
+        if row["delta_avg_dc"] > best["delta"]:
+            best = {"delta": row["delta_avg_dc"], "mode": "trained_with_mod_dropout"}
 
     verdict = {"missing_modality": MODS[args.drop_mod],
                "no_adapt_avg_dc": no_adapt["avg_dc"], "best": best}

@@ -71,7 +71,7 @@ def run_one(model_name: str, manifest: str, epochs: int, out_root: str) -> dict:
         f"task.save_dir={out_root}",
         f"task.run_name=ws_validate_{model_name}",
     ]
-    manager, cfg = bring_up(overrides, epochs=epochs, tag="validate_ws")
+    manager, cfg = bring_up(overrides, tag="validate_ws")
     results = manager.last_train_results
     wall = manager.last_train_wall_s
 
