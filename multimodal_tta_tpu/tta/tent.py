@@ -106,6 +106,12 @@ class TentAdapter:
         self.opt_name = str(get_config(self.cfg, "optimizer", "sgd")).lower()
         self.momentum = float(get_config(self.cfg, "momentum", 0.9))
         self.update = str(get_config(self.cfg, "update", "norm")).lower()
+        # optional explicit path filter on the adapted set (a user-specified
+        # regex, NOT a heuristic): e.g. "^(dec|up|bottleneck)" adapts only
+        # decoder-side norms — XLA then prunes the encoder traversal from the
+        # backward pass entirely (gradients for decoder params need only the
+        # decoder subgraph), trading adaptation capacity for serving rate
+        self.update_regex = get_config(self.cfg, "update_path_regex", None)
         self.episodic = bool(get_config(self.cfg, "episodic", True))
 
         crit = get_config(self.config, "training.criterion", ConfigNode())
@@ -186,22 +192,39 @@ class TentAdapter:
 
     # ------------------------------------------------------------------
     def _param_mask(self, params):
-        """True = adapted. update=norm -> norm affine params; update=all -> all."""
+        """True = adapted. update=norm -> norm affine params; update=all ->
+        all. ``update_path_regex`` further restricts either set to parameter
+        paths matching the regex (searched against 'comp/comp/...')."""
         if self.update == "norm":
             mask = norm_param_mask(params)
-            n = count_true(mask)
-            if n == 0:
-                raise ValueError(
-                    "[tent] update=norm but no normalization parameters found in the model"
-                )
-            self.logger.info(
-                f"[tent] adapting {n} norm-param tensors (of "
-                f"{len(jax.tree_util.tree_leaves(params))})"
+        elif self.update == "all":
+            mask = jax.tree_util.tree_map(lambda _: True, params)
+        else:
+            raise ValueError(f"[tent] unknown update mode: {self.update}")
+
+        if self.update_regex:
+            import re
+
+            pat = re.compile(str(self.update_regex))
+
+            def keep(path, m):
+                p = "/".join(str(getattr(k, "key", k)) for k in path)
+                return bool(m) and bool(pat.search(p))
+
+            mask = jax.tree_util.tree_map_with_path(keep, mask)
+
+        n = count_true(mask)
+        if n == 0:
+            raise ValueError(
+                f"[tent] no adapted parameters selected (update={self.update}, "
+                f"update_path_regex={self.update_regex!r})"
             )
-            return mask
-        if self.update == "all":
-            return jax.tree_util.tree_map(lambda _: True, params)
-        raise ValueError(f"[tent] unknown update mode: {self.update}")
+        self.logger.info(
+            f"[tent] adapting {n} param tensors (of "
+            f"{len(jax.tree_util.tree_leaves(params))})"
+            + (f" under path filter {self.update_regex!r}" if self.update_regex else "")
+        )
+        return mask
 
     def _build_tx(self) -> optax.GradientTransformation:
         """Optimizer over the TRAINABLE SUBTREE only (frozen params never

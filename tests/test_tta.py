@@ -544,3 +544,34 @@ class TestEntropyFocus:
         cfg = full_cfg()
         with pytest.raises(ValueError, match="entropy_focus"):
             TentAdapter(tent_cfg(entropy_focus="nope"), config=cfg)
+
+
+class TestUpdatePathRegex:
+    def test_regex_restricts_adapted_set_and_freezes_rest(self):
+        state = make_state()
+        cfg = full_cfg(tent_cfg(steps=1, lr=1e-2, update_path_regex="^(dec|up|bottleneck)"))
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+        mask = adapter._param_mask(state.params)
+        flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+        kept = [jax.tree_util.keystr(p) for p, v in flat if v]
+        assert kept and all(
+            "dec" in p or "up" in p or "bottleneck" in p for p in kept
+        )
+        # adaptation leaves encoder norms untouched
+        adapt_fn = adapter.make_adapt_fn(state)
+        x = jnp.asarray(np.random.RandomState(5).randn(2, 16, 16, 16, 2), jnp.float32)
+        s1 = adapt_fn(state, x, 2)
+        for (path, p0), p1 in zip(
+            jax.tree_util.tree_flatten_with_path(state.params)[0],
+            jax.tree_util.tree_leaves(s1.params),
+        ):
+            key = jax.tree_util.keystr(path)
+            if "enc" in key:
+                assert np.allclose(np.asarray(p0), np.asarray(p1)), key
+
+    def test_non_matching_regex_raises(self):
+        state = make_state()
+        cfg = full_cfg(tent_cfg(update_path_regex="nothing_matches_this"))
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+        with pytest.raises(ValueError, match="no adapted parameters"):
+            adapter._param_mask(state.params)
