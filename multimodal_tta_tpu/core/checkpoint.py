@@ -45,7 +45,7 @@ def save_checkpoint(path: str, state, extra: Dict[str, Any] = None) -> None:
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, path + ".msgpack")
-    _write_sidecar(path, extra or {})
+    _write_sidecar(path, dict(extra or {}, _format="msgpack"))
 
 
 def _json_default(o):
@@ -60,22 +60,29 @@ def load_checkpoint(path: str, template_state) -> Tuple[Any, Dict[str, Any]]:
     """Restore a TrainState from ``path`` using ``template_state`` for
     structure; returns (state, extra_metadata). Auto-detects format; when
     BOTH an .orbax directory and a .msgpack exist at the same path (a run
-    switched checkpoint_format without cleaning the save dir), the NEWER
-    one wins — both formats share the one .json sidecar, so silently
-    restoring the older payload would pair stale params with the fresh
-    run's epoch/best metadata."""
+    switched checkpoint_format without cleaning the save dir), the sidecar's
+    recorded ``_format`` decides (newer mtime for pre-format sidecars) —
+    both formats share the one .json sidecar, so restoring the wrong payload
+    would pair stale params with the fresh run's epoch/best metadata."""
     orbax_dir = path + ".orbax"
     msgpack_path = path + ".msgpack"
     has_orbax = os.path.isdir(orbax_dir)
     if has_orbax and os.path.exists(msgpack_path):
-        if os.path.getmtime(msgpack_path) > os.path.getmtime(orbax_dir):
-            from ..utils.logger import get_logger
-
-            get_logger().warning(
-                f"[checkpoint] both {orbax_dir} and {msgpack_path} exist; "
-                f"restoring the newer msgpack (the orbax dir is stale)"
-            )
+        # the sidecar records which format wrote it (deterministic; mtimes
+        # are unreliable after tar/scp/object-store copies) — fall back to
+        # newer-mtime only for pre-format sidecars
+        declared = _read_sidecar(path).get("_format")
+        if declared in ("msgpack", "orbax"):
+            has_orbax = declared == "orbax"
+        elif os.path.getmtime(msgpack_path) > os.path.getmtime(orbax_dir):
             has_orbax = False
+        from ..utils.logger import get_logger
+
+        get_logger().warning(
+            f"[checkpoint] both {orbax_dir} and {msgpack_path} exist; "
+            f"restoring the {'orbax' if has_orbax else 'msgpack'} payload "
+            f"({'sidecar-declared' if declared else 'newer mtime'})"
+        )
     if has_orbax:
         return load_checkpoint_sharded(path, template_state)
     with open(path + ".msgpack", "rb") as f:
@@ -134,7 +141,7 @@ def save_checkpoint_sharded(path: str, state, extra: Dict[str, Any] = None) -> N
     ckptr.wait_until_finished()
     ckptr.close()
     if jax.process_index() == 0:
-        _write_sidecar(path, extra or {})
+        _write_sidecar(path, dict(extra or {}, _format="orbax"))
 
 
 def load_checkpoint_sharded(path: str, template_state) -> Tuple[Any, Dict[str, Any]]:

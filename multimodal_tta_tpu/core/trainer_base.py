@@ -219,7 +219,13 @@ class TrainerBase(ABC):
         for h in self._hooks:
             h.after_train_epoch()
 
-        return self._finalize_epoch_metrics(metrics)
+        out = self._finalize_epoch_metrics(metrics)
+        if n_batches == 0:
+            # an empty AverageMeter reports 0.0, which reads as perfect
+            # convergence downstream — a zero-batch epoch must be visibly
+            # broken in history/plots, not silently optimal
+            out["loss"] = float("nan")
+        return out
 
     @abstractmethod
     def run_step(self, batch) -> Dict[str, float]:

@@ -158,14 +158,34 @@ class DeviceCachedLoader:
         if self.shard_store:
             # samples shard over the data axis: pad N up to a multiple of the
             # shard count by WRAPPING (row i pads with real sample i % n, so
-            # padding rows are valid training data, merely re-sampled)
+            # padding rows are valid training data, merely re-sampled).
+            # Staging is per-device-shard from VIEWS of the host store — a
+            # global fancy-index copy would transiently double host RAM for
+            # exactly the datasets this mode exists for; only the wrapped
+            # tail shard materializes a copy.
             shards = data_axis_size(mesh)
             per_shard = -(-n // shards)
             self._per_shard = per_shard
-            wrap = np.arange(shards * per_shard) % n
+            total = shards * per_shard
             store_sh = NamedSharding(mesh, P(DATA_AXIS))
-            self._images = jax.device_put(images[wrap], store_sh)
-            self._labels = jax.device_put(labels[wrap], store_sh)
+
+            def rows_for(arr, sl):
+                start, stop = int(sl.start or 0), int(sl.stop)
+                if stop <= n:
+                    return arr[start:stop]
+                return arr[np.arange(start, stop) % n]
+
+            def stage_sharded(arr):
+                shape = (total,) + arr.shape[1:]
+                dmap = store_sh.devices_indices_map(shape)
+                singles = [
+                    jax.device_put(np.ascontiguousarray(rows_for(arr, ind[0])), dev)
+                    for dev, ind in dmap.items()
+                ]
+                return jax.make_array_from_single_device_arrays(shape, store_sh, singles)
+
+            self._images = stage_sharded(images)
+            self._labels = stage_sharded(labels)
             replicas = 1
         elif mesh is not None:
             rep = replicated(mesh)
@@ -184,6 +204,15 @@ class DeviceCachedLoader:
             f"image {images.shape} {images.dtype}, label {labels.shape} "
             f"{labels.dtype} ({gib:.2f} GiB total)"
         )
+
+        # the one-time decode routed through the dataset's own in-memory
+        # decode cache (when dataset.cache_in_memory is also set) — those
+        # host-side float32 copies are dead weight now that every batch
+        # comes from HBM, so release them (the disk cache has no RAM cost
+        # and is left alone)
+        ds_cache = getattr(dataset, "_cache", None)
+        if ds_cache is not None and hasattr(ds_cache, "clear"):
+            ds_cache.clear()
 
         # ---- jitted batch gather ----
         if self.shard_store:

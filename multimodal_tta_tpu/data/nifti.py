@@ -370,6 +370,13 @@ class DecodedCache:
         self.hits = 0
         self.misses = 0
 
+    def clear(self) -> None:
+        """Drop all cached volumes (e.g. after a device-resident store has
+        been staged and the host copies are dead weight)."""
+        with self._lock:
+            self._data.clear()
+            self._bytes = 0
+
     def get_or_load(self, path: str) -> np.ndarray:
         with self._lock:
             hit = self._data.get(path)

@@ -59,7 +59,14 @@ def prefetch_to_device(
 
             for k in present:
                 out[k] = jax.device_put(compressed[k])
-        out["_n_valid"] = n_valid if present else n
+        # an incoming batch may ALREADY carry _n_valid (DeviceCachedLoader
+        # pads index vectors with duplicate rows that look like real samples
+        # to pad_batch_to_multiple) — the true count is the minimum of the
+        # two, never the recomputed one alone
+        n_valid = n_valid if present else n
+        if "_n_valid" in batch:
+            n_valid = min(n_valid, int(batch["_n_valid"]))
+        out["_n_valid"] = n_valid
         return out
 
     queue: deque = deque()

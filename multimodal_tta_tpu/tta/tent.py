@@ -54,6 +54,12 @@ def norm_param_mask(params) -> Any:
     submodule names classify correctly — no naming convention required
     (round-1 review weak #7; the reference's torch version keys off
     ``isinstance(m, BatchNorm)``, this is the pytree equivalent).
+
+    Known edge: a standalone module whose ONLY params are a 1-D scale/bias
+    (e.g. a bias-only calibration layer or LayerScale) matches the signature
+    and would be adapted too. The adapter logs the matched module paths at
+    debug level for auditing, and ``tta.update_path_regex`` gives explicit
+    control when the structural rule is wrong for a model.
     """
     from collections.abc import Mapping
 
@@ -224,6 +230,12 @@ class TentAdapter:
             f"{len(jax.tree_util.tree_leaves(params))})"
             + (f" under path filter {self.update_regex!r}" if self.update_regex else "")
         )
+        modules = sorted({
+            "/".join(str(getattr(k, "key", k)) for k in path[:-1])
+            for path, v in jax.tree_util.tree_flatten_with_path(mask)[0]
+            if v
+        })
+        self.logger.debug(f"[tent] adapted modules: {modules}")
         return mask
 
     def _build_tx(self) -> optax.GradientTransformation:
@@ -255,7 +267,11 @@ class TentAdapter:
         )
 
     def trainable_subtree(self, params):
-        mask = self._param_mask(params)
+        # reuse the mask the jit build already computed (and logged) when
+        # available — recomputing traverses the full tree and double-logs
+        mask = getattr(self, "_mask", None)
+        if mask is None:
+            mask = self._param_mask(params)
         return self._partition(params, mask)[0]
 
     def _build_adapt_step(self, state, predict_threshold=None, predict_mode="post"):
@@ -285,6 +301,7 @@ class TentAdapter:
                     "therefore never applies; use steps>1"
                 )
         param_mask = self._param_mask(state.params)
+        self._mask = param_mask  # reused by make_* for optimizer init
         tx = self._build_tx()
         self._tx = tx
         norm_fn = self._norm_fn
@@ -396,6 +413,16 @@ class TentAdapter:
 
             objective = windowed_loss_of if window_enabled else loss_of
 
+            def predict(logits):
+                """Segmentation decision matched to the criterion mode:
+                sigmoid (multi-label) thresholds per channel; softmax
+                (multi-class) takes the channel argmax — thresholding
+                sigmoid(softmax-logits) would let a voxel claim several
+                mutually-exclusive classes at once."""
+                if sigmoid_mode:
+                    return (jax.nn.sigmoid(logits) >= predict_threshold).astype(jnp.uint8)
+                return jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.uint8)
+
             def grad_step(trainable, bs, opt_state, key, dropout: bool):
                 k_md, k_obj = jax.random.split(key)
                 x = image
@@ -432,7 +459,7 @@ class TentAdapter:
                 )
                 ents = jnp.concatenate([ents_head, ent[None]])
                 params = combine(trainable, frozen)
-                pred = (jax.nn.sigmoid(logits) >= predict_threshold).astype(jnp.uint8)
+                pred = predict(logits)
                 return params, batch_stats, opt_state, ents, pred
 
             (trainable, batch_stats, opt_state), ents = jax.lax.scan(
@@ -444,7 +471,7 @@ class TentAdapter:
                 if batch_stats:
                     variables["batch_stats"] = batch_stats
                 logits = state.apply_fn(variables, image, train=False)
-                pred = (jax.nn.sigmoid(logits) >= predict_threshold).astype(jnp.uint8)
+                pred = predict(logits)
                 return params, batch_stats, opt_state, ents, pred
             return params, batch_stats, opt_state, ents
 

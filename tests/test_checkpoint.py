@@ -224,3 +224,26 @@ class TestShardedOrbax:
             jax.tree_util.tree_leaves(jax.device_get(s_b.params)),
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_sidecar_format_beats_mtimes(self, tmp_path):
+        """Format disambiguation is sidecar-driven: even if the stale orbax
+        dir gets a NEWER mtime (tar/scp rewrite), the declared format wins."""
+        import os as _os
+        import time as _time
+
+        from multimodal_tta_tpu.core.checkpoint import save_checkpoint_sharded
+
+        mesh = self._mesh()
+        path = str(tmp_path / "decl")
+        save_checkpoint_sharded(path, self._sharded_state(mesh), {"epoch": 1})
+        _time.sleep(0.05)
+        fresh = make_state(seed=5)
+        save_checkpoint(path, fresh, {"epoch": 7})
+        # simulate a copy that rewrites the orbax dir mtime to be newest
+        _os.utime(path + ".orbax")
+        restored, extra = load_checkpoint(path, make_state(seed=9))
+        assert extra["epoch"] == 7
+        np.testing.assert_allclose(
+            np.asarray(restored.params["dense"]["kernel"]),
+            np.asarray(fresh.params["dense"]["kernel"]),
+        )

@@ -173,3 +173,17 @@ def dataset_manifest(ds) -> str:
     first = ds._rows[0]
     img_dir = os.path.dirname(first[ds.schema.ct])
     return os.path.join(os.path.dirname(img_dir), "manifest.csv")
+
+
+def test_prefetch_preserves_existing_n_valid():
+    """prefetch_to_device must not overwrite a smaller incoming _n_valid:
+    DeviceCachedLoader pads index vectors with DUPLICATE (real-looking) rows,
+    so re-deriving validity from the array shape would re-count them (e.g.
+    eval_on_train over a device-cached loader)."""
+    import numpy as np
+
+    from multimodal_tta_tpu.data.prefetch import prefetch_to_device
+
+    batches = [{"image": np.zeros((4, 2, 2, 2, 1), np.float32), "_n_valid": 3}]
+    out = list(prefetch_to_device(iter(batches), None, depth=1))
+    assert out[0]["_n_valid"] == 3

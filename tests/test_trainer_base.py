@@ -151,3 +151,21 @@ class TestBestModelSelection:
         strat = SegmentationEvaluationStrategy(ConfigNode({}))
         assert strat.is_best_model({"loss": 1.0}, {})
         assert not strat.is_best_model({"loss": 2.0}, {"loss": 1.0})
+
+
+def test_zero_batch_epoch_reports_nan_loss():
+    """A zero-batch epoch (drop_last discarding everything) must be visibly
+    broken in history — an empty meter's 0.0 reads as perfect convergence."""
+    import math
+
+    from multimodal_tta_tpu.conf import ConfigNode
+    from multimodal_tta_tpu.core.trainer_base import TrainerBase
+
+    class T(TrainerBase):
+        def run_step(self, batch):
+            return {"loss": 1.0}
+
+    t = T(ConfigNode({"training": {}}))
+    t.state = object()  # any non-None state; run_step is stubbed
+    metrics = t.train_epoch(0, [])
+    assert math.isnan(metrics["loss"])

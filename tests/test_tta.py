@@ -575,3 +575,26 @@ class TestUpdatePathRegex:
         adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
         with pytest.raises(ValueError, match="no adapted parameters"):
             adapter._param_mask(state.params)
+
+
+class TestSoftmaxPredict:
+    def test_softmax_mode_predicts_argmax_not_sigmoid_threshold(self):
+        """Multi-class criterion: the fused predict must be the channel
+        argmax — per-channel sigmoid thresholding of softmax logits lets a
+        voxel claim several mutually-exclusive classes at once."""
+        state = make_state(n_cls=3)
+        cfg = full_cfg(tent_cfg(steps=1), sigmoid=False)
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+        assert adapter.sigmoid_mode is False
+        for mode in ("inline", "post"):
+            ap = adapter.make_adapt_predict_fn(state, threshold=0.5, predict_mode=mode)
+            x = jnp.asarray(np.random.RandomState(31).randn(2, 16, 16, 16, 2), jnp.float32)
+            _, pred = ap(state, x, 2)
+            p = np.asarray(pred)
+            assert p.shape[-1] == 1  # class-id map, not per-class binaries
+            assert p.max() <= 2 and p.dtype == np.uint8
+            if mode == "inline":
+                # steps=1 episodic inline == argmax of the source forward
+                logits = state.apply_fn({"params": state.params}, x, train=False)
+                expect = np.argmax(np.asarray(logits), axis=-1)[..., None]
+                assert np.array_equal(p, expect)
