@@ -100,10 +100,14 @@ def build_adapter_state(predict_mode: str = "post", episodic: bool = True):
 
     from multimodal_tta_tpu.conf import ConfigNode
     from multimodal_tta_tpu.core.train_state import TrainState
-    from multimodal_tta_tpu.models import UNet3D
+    from multimodal_tta_tpu.registry import get_model
     from multimodal_tta_tpu.tta import TentAdapter
 
-    model = UNet3D(
+    # BENCH_MODEL=unet_ws benches the validated speed/quality trade
+    # (space-to-depth stem, 2.14x faster forward at -0.02 val Dice —
+    # BASELINE.md); the headline stays the flagship "unet"
+    model_cls = get_model(os.environ.get("BENCH_MODEL", "unet"))
+    model = model_cls(
         in_channels=2,
         num_classes=1,
         channels=(32, 64, 128, 256, 512),
@@ -334,6 +338,18 @@ def main() -> None:
     with jax.default_device(dev0):
         vps_online = measure_device(iters=10, warmup=3, workload="online")
         vps = measure_device(iters=10, warmup=3, workload="strict")
+        # the validated speed/quality trade (unet_ws: -0.02 val Dice, inside
+        # the north star's +-0.1 parity band) — reported alongside, not as
+        # the headline (small lesions punish its half-resolution head)
+        vps_ws = None
+        if os.environ.get("BENCH_WS", "1") != "0" and "BENCH_MODEL" not in os.environ:
+            try:
+                os.environ["BENCH_MODEL"] = "unet_ws"
+                vps_ws = measure_device(iters=10, warmup=3, workload="online")
+            except Exception as e:
+                print(f"[bench] unet_ws config failed: {e}", file=sys.stderr)
+            finally:
+                os.environ.pop("BENCH_MODEL", None)
         e2e = e2e_cached = None
         if os.environ.get("BENCH_E2E", "1") != "0":
             try:
@@ -366,6 +382,9 @@ def main() -> None:
         "episodic_strict_volumes_per_sec_per_chip": round(vps, 3),
         "episodic_strict_vs_baseline": round(vps / base, 2) if base else None,
     }
+    if vps_ws is not None:
+        # within the north star's +-0.1 Dice parity band (-0.02 measured)
+        result["unet_ws_online_volumes_per_sec_per_chip"] = round(vps_ws, 3)
     if e2e is not None:
         result["e2e_volumes_per_sec_per_chip"] = round(e2e, 3)
         result["e2e_fraction_of_device"] = round(e2e / vps, 3)
