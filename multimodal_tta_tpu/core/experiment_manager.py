@@ -119,6 +119,25 @@ class ExperimentManager:
                 out_shardings=replicated(self.mesh),
             )(init_key, dummy)
 
+        # model.pretrained is honored or fails loudly — never silently
+        # ignored (the reference resolves torchvision ImageNet weights,
+        # reference src/models/resnet.py:16-36; this offline build ports a
+        # user-supplied torch state_dict instead, models/pretrained.py).
+        if bool(get_config(model_cfg, "pretrained", False)):
+            src_path = get_config(model_cfg, "pretrained_source", None)
+            if not src_path:
+                raise ValueError(
+                    "model.pretrained=true but model.pretrained_source is not "
+                    "set — this environment cannot download torchvision "
+                    "weights; save a torch state_dict (torch.save(model."
+                    "state_dict(), p)) and point model.pretrained_source at it"
+                )
+            from ..models.pretrained import apply_pretrained, port_pretrained_variables
+
+            ported = port_pretrained_variables(model_name, str(src_path))
+            merged = apply_pretrained(jax.device_get(self.variables), ported, model_name)
+            self.variables = jax.device_put(merged, replicated(self.mesh))
+
         n_params = param_count(self.variables["params"])
         self.logger.info(
             f"Model created: {model_name} ({n_params / 1e6:.2f}M params, "

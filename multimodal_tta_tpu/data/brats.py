@@ -245,8 +245,10 @@ class BratsMultiSourceNiftiDataset:
             bad = [int(v) for v in uniq.tolist() if v < 0 or v > 20]
             if bad:
                 raise ValueError(
-                    f"[BraTS] Abnormal label values {bad} in case={case_id} src={src.name}. "
-                    f"This often indicates non-nearest interpolation in preprocessing."
+                    f"[BraTS] case={case_id} src={src.name} carries out-of-range "
+                    f"label ids {bad} (expected small non-negative ints) — check "
+                    f"that the preprocessing resampled labels with nearest-"
+                    f"neighbor interpolation."
                 )
 
         y_reg = build_region_masks_from_raw(y_np.astype(np.int64), src.region_map)  # [D,H,W,3]
@@ -297,7 +299,7 @@ class BratsMultiNiftiBuilder(BaseDatasetBuilder):
 
         raw_sources = get_config(dcfg, "sources", None)
         if raw_sources is None:
-            raise ValueError("[brats] 'dataset.sources' is required for multi-source loading.")
+            raise ValueError("[brats] config has no 'dataset.sources' list — at least one source spec is needed.")
         self.sources: List[SourceSpec] = [self._source_from_config(node) for node in raw_sources]
         self.modality_order = ("t1n", "t1c", "t2w", "t2f")
 
@@ -368,8 +370,8 @@ class BratsMultiNiftiBuilder(BaseDatasetBuilder):
         )
         if not enabled:
             self.logger.warning(
-                f"[brats] split='{split_norm}' is disabled by include_splits for all sources; "
-                f"return None."
+                f"[brats] every source excludes split='{split_norm}' via include_splits — "
+                f"no dataset to build."
             )
             return None
 

@@ -29,9 +29,12 @@ Two store layouts:
   axis and each device samples only from its local shard (the distributed-
   sampler discipline) via a ``shard_map``-wrapped local gather — no
   collectives, 1/N HBM per chip. Batch COMPOSITION necessarily differs from
-  the replicated/host path (each batch takes batch/N samples per shard), but
-  every sample is seen exactly once per epoch and the per-epoch permutations
-  stay Philox-deterministic.
+  the replicated/host path (each batch takes batch/N samples per shard), and
+  when the dataset size is not divisible by the shard count the wrap padding
+  repeats the leading ``pad`` samples (``i % n``) — a fixed, deterministic
+  over-sampling of those cases every epoch (same trade the classic
+  distributed sampler makes). Per-epoch permutations stay
+  Philox-deterministic.
 """
 
 from __future__ import annotations

@@ -17,8 +17,10 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.sharding import PartitionSpec
 
 Dtype = Any
 
@@ -41,6 +43,45 @@ def get_act(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
     return table[name]
 
 
+class InstanceNorm(nn.Module):
+    """Per-sample per-channel normalization over the spatial dims (equivalent
+    to GroupNorm with one channel per group — the reference's "INSTANCE" mode).
+
+    Implemented manually rather than via ``nn.GroupNorm`` so the
+    ``[B,1,..,1,C]`` statistic tensors can carry explicit sharding
+    constraints: on a data×space mesh the activations enter sharded
+    (batch→data, depth→space), and without a pin XLA's SPMD partitioner
+    assigns the stats batch-over-data in the forward but dim1-over-space in
+    the backward transpose, falling back to "involuntary full
+    rematerialization" (replicate-then-repartition) inside ``jit(adapt)`` —
+    wasted ICI/HBM traffic on the hot serving path. Pinning mean/var to
+    batch-over-data keeps both passes on one layout (constraints are no-ops
+    off-mesh). Same param names/shapes as GroupNorm (1-D ``scale``/``bias``),
+    so checkpoints and the TTA norm-param structural mask are unchanged.
+    """
+
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..parallel.mesh import DATA_AXIS, constrain, constrain_activations
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        red = tuple(range(1, x.ndim - 1))
+        pin = PartitionSpec(*((DATA_AXIS,) + (None,) * (x.ndim - 1)))
+        xf = x.astype(jnp.float32)
+        mean = constrain(jnp.mean(xf, axis=red, keepdims=True), pin)
+        mean2 = constrain(jnp.mean(jnp.square(xf), axis=red, keepdims=True), pin)
+        var = constrain(jnp.maximum(mean2 - jnp.square(mean), 0.0), pin)
+        inv = constrain(jax.lax.rsqrt(var + self.epsilon), pin)
+        y = (xf - mean) * inv
+        y = y * scale + bias
+        return constrain_activations(y.astype(self.dtype or x.dtype))
+
+
 class Norm(nn.Module):
     """Config-string-selected normalization over the channel (last) axis."""
 
@@ -51,10 +92,7 @@ class Norm(nn.Module):
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         kind = str(self.kind).upper()
         if kind == "INSTANCE":
-            # One group per channel, stats over spatial dims only.
-            return nn.GroupNorm(
-                num_groups=None, group_size=1, epsilon=1e-5, dtype=self.dtype, name="norm"
-            )(x)
+            return InstanceNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         if kind == "BATCH":
             return nn.BatchNorm(
                 use_running_average=not train,
@@ -111,7 +149,9 @@ class ConvBlock(nn.Module):
             x = get_act(self.act)(x)
         if self.dropout > 0.0:
             x = nn.Dropout(rate=self.dropout, deterministic=not train, name="drop")(x)
-        return x
+        from ..parallel.mesh import constrain_activations
+
+        return constrain_activations(x)
 
 
 class ResidualUnit(nn.Module):
@@ -158,7 +198,9 @@ class ResidualUnit(nn.Module):
                 dtype=self.dtype,
                 name=f"unit{i}",
             )(y, train=train)
-        return y + res
+        from ..parallel.mesh import constrain_activations
+
+        return constrain_activations(y + res)
 
 
 class UpSample(nn.Module):
@@ -186,7 +228,9 @@ class UpSample(nn.Module):
                 dtype=self.dtype,
                 name="proj",
             )(x)
-        return x
+        from ..parallel.mesh import constrain_activations
+
+        return constrain_activations(x)
 
 
 class TransposedConvUp(nn.Module):
@@ -199,7 +243,7 @@ class TransposedConvUp(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         s = _triple(self.strides)
-        return nn.ConvTranspose(
+        y = nn.ConvTranspose(
             features=self.features,
             kernel_size=s,
             strides=s,
@@ -207,3 +251,6 @@ class TransposedConvUp(nn.Module):
             dtype=self.dtype,
             name="up",
         )(x)
+        from ..parallel.mesh import constrain_activations
+
+        return constrain_activations(y)

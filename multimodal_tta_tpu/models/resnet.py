@@ -29,10 +29,10 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         residual = x
-        y = nn.Conv(self.features, (3, 3), (self.strides, self.strides), padding="SAME", use_bias=False, dtype=self.dtype)(x)
+        y = nn.Conv(self.features, (3, 3), (self.strides, self.strides), padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype)(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(y)
+        y = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype)(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features, (1, 1), (self.strides, self.strides), use_bias=False, dtype=self.dtype, name="downsample_conv")(residual)
@@ -51,7 +51,7 @@ class Bottleneck(nn.Module):
         y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), (self.strides, self.strides), padding="SAME", use_bias=False, dtype=self.dtype)(y)
+        y = nn.Conv(self.features, (3, 3), (self.strides, self.strides), padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype)(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=self.dtype)(y)

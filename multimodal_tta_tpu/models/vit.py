@@ -28,29 +28,10 @@ from ..utils.config import get_config
 from .resnet import _VariantFactory
 
 
-def _ambient_axes() -> dict:
-    """{axis_name: (size, strict)} visible at trace time. Sources: the
-    new-style set_mesh context (strict=False — Auto axes tolerate uneven
-    dimension sizes) and the legacy ``with Mesh(...):`` context (strict=True —
-    with_sharding_constraint there REQUIRES divisibility). The legacy context
-    is how ExperimentManager/TTAEngine run everything, but on jax 0.9
-    get_abstract_mesh/get_mesh both return an EMPTY mesh inside it, so it
-    must be read from the thread-resources env — private API, hence the
-    broad guard."""
-    axes = {}
-    try:
-        from jax._src import mesh as _mesh_lib
+from ..parallel.mesh import ambient_axes as _ambient_axes
 
-        legacy = _mesh_lib.thread_resources.env.physical_mesh
-        for name, size in zip(legacy.axis_names, legacy.devices.shape):
-            axes[name] = (int(size), True)
-    except Exception:
-        pass
-    mesh = jax.sharding.get_abstract_mesh()
-    if mesh is not None:
-        for name, size in (getattr(mesh, "shape", None) or {}).items():
-            axes[name] = (int(size), False)
-    return axes
+
+_seq_shard_warned: set = set()
 
 
 def _maybe_shard_seq(x: jnp.ndarray, axis: Optional[str]) -> jnp.ndarray:
@@ -62,6 +43,18 @@ def _maybe_shard_seq(x: jnp.ndarray, axis: Optional[str]) -> jnp.ndarray:
         return x
     info = _ambient_axes().get(axis)
     if info is None:
+        # explicit config with no matching mesh axis: degrade, but say so
+        # once — otherwise sequence parallelism can silently disable (e.g.
+        # after a jax upgrade changes the ambient-mesh introspection).
+        if axis not in _seq_shard_warned:
+            _seq_shard_warned.add(axis)
+            from ..utils.logger import get_logger
+
+            get_logger().warning(
+                f"[vit] seq_shard_axis={axis!r} is set but no ambient mesh "
+                f"carries that axis — sequence parallelism disabled for this "
+                f"trace (run under `with mesh:` / jax.set_mesh)"
+            )
         return x
     size, strict = info
     if strict and x.shape[1] % size != 0:

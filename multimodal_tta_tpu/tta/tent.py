@@ -225,9 +225,14 @@ class TentAdapter:
                 f"[tent] no adapted parameters selected (update={self.update}, "
                 f"update_path_regex={self.update_regex!r})"
             )
+        # entropy_focus is surfaced here so every run's log states which
+        # objective produced its numbers — "uncertain" (the shipped default,
+        # configs/tta/tent.yaml) is self-normalized entropy, NOT
+        # paper-faithful plain Tent, and results must not be conflated.
         self.logger.info(
             f"[tent] adapting {n} param tensors (of "
-            f"{len(jax.tree_util.tree_leaves(params))})"
+            f"{len(jax.tree_util.tree_leaves(params))}), objective="
+            f"{'self-normalized entropy (focus=uncertain)' if self.entropy_focus == 'uncertain' else 'plain Tent entropy (focus=all)'}"
             + (f" under path filter {self.update_regex!r}" if self.update_regex else "")
         )
         modules = sorted({
@@ -267,10 +272,15 @@ class TentAdapter:
         )
 
     def trainable_subtree(self, params):
-        # reuse the mask the jit build already computed (and logged) when
-        # available — recomputing traverses the full tree and double-logs
+        # reuse the mask the jit build already computed (and logged) when it
+        # matches this param tree's structure — recomputing traverses the
+        # full tree and double-logs, but a stale mask from a different
+        # treedef (adapter reused across model rebuilds) would silently
+        # mispartition, so structure is checked before reuse
         mask = getattr(self, "_mask", None)
-        if mask is None:
+        if mask is None or (
+            jax.tree_util.tree_structure(mask) != jax.tree_util.tree_structure(params)
+        ):
             mask = self._param_mask(params)
         return self._partition(params, mask)[0]
 

@@ -76,7 +76,7 @@ def write_image(path: Path, data: np.ndarray, grid: Grid, dtype) -> None:
 
 
 # -----------------------------
-# Split logic (reference: 274-329, bit-exact RNG consumption)
+# Split logic
 # -----------------------------
 def assign_splits(
     df: pd.DataFrame,
@@ -87,40 +87,43 @@ def assign_splits(
     seed: int,
     other_policy: str,
 ) -> pd.DataFrame:
-    df = df.copy()
+    """Stamp ``domain`` and ``split`` columns onto the manifest frame.
+
+    The split PROTOCOL is a data contract with the reference pipeline
+    (reference: scripts/prepare_hecktor21.py:274-329): target centers are
+    test in full; source centers are train with ``val_per_center`` cases per
+    center held out to val by seeded sampling; unlisted centers follow
+    ``other_policy`` ("source" / "target" / anything else = drop). Only the
+    np.RandomState CONSUMPTION ORDER is pinned for bit-exact split parity
+    (SURVEY §7.3 hard-part 6): one RandomState(seed), source centers walked
+    in sorted order, one replace=False draw of min(val_per_center, n) per
+    center — ``choice`` consumes purely as a function of population size, so
+    matching order and sizes reproduces the reference splits exactly
+    (regression-locked by tests/test_resample_preprocess.py goldens).
+    """
+    out = df.copy()
     if not enable_split:
-        df["domain"] = "all"
-        df["split"] = "train"
-        return df
+        out["domain"] = "all"
+        out["split"] = "train"
+        return out
 
-    source_centers = [str(c).upper() for c in source_centers]
-    target_centers = [str(c).upper() for c in target_centers]
-    other_policy = str(other_policy).lower().strip()
+    src = {str(c).upper() for c in source_centers}
+    tgt = {str(c).upper() for c in target_centers}
+    policy = str(other_policy).lower().strip()
+    fallback = policy if policy in ("source", "target") else "ignore"
 
-    def domain_from_center(c: str) -> str:
-        c = str(c).upper()
-        if c in source_centers:
-            return "source"
-        if c in target_centers:
-            return "target"
-        if other_policy in ("source", "target"):
-            return other_policy
-        return "ignore"
-
-    df["domain"] = df["center_code"].map(domain_from_center)
-    df["split"] = "ignore"
-    df.loc[df["domain"] == "target", "split"] = "test"
-    df.loc[df["domain"] == "source", "split"] = "train"
+    upper = out["center_code"].astype(str).str.upper()
+    out["domain"] = np.where(
+        upper.isin(src), "source", np.where(upper.isin(tgt), "target", fallback)
+    )
+    out["split"] = out["domain"].map({"source": "train", "target": "test", "ignore": "ignore"})
 
     rng = np.random.RandomState(seed)
-    for center in sorted(set(df.loc[df["domain"] == "source", "center_code"].tolist())):
-        idxs = df.index[(df["domain"] == "source") & (df["center_code"] == center)].tolist()
-        if len(idxs) == 0:
-            continue
-        k = min(val_per_center, len(idxs))
-        val_idxs = rng.choice(idxs, size=k, replace=False).tolist()
-        df.loc[val_idxs, "split"] = "val"
-    return df
+    for _, group in out[out["domain"] == "source"].groupby("center_code", sort=True):
+        k = min(int(val_per_center), len(group))
+        chosen = rng.choice(group.index.to_numpy(), size=k, replace=False)
+        out.loc[chosen, "split"] = "val"
+    return out
 
 
 def compute_center_pad_crop_params(cur_size, target_size):
@@ -179,40 +182,52 @@ def pad_if_needed(data, grid, start_idx, roi_size, pad_value):
 
 
 # -----------------------------
-# split-only manifest (reference: 335-405)
+# split-only manifest
 # -----------------------------
+def case_file_layout(pid: str, nii_root: Path, out_root: Path, ct_suffix: str, pt_suffix: str, gt_suffix: str):
+    """(raw, processed) path dicts for one case, keyed by modality. The
+    filename patterns (``<pid>_ct.nii.gz`` under images/, ``<pid>_gtvt`` under
+    labels/) and suffix handling are the on-disk contract shared with the
+    reference pipeline's outputs."""
+    raw = {
+        "ct": nii_root / f"{pid}{ct_suffix}",
+        "pt": nii_root / f"{pid}{pt_suffix}",
+        "gtvt": nii_root / f"{pid}{gt_suffix}",
+    }
+    proc = {
+        "ct": out_root / "images" / f"{pid}_ct.nii.gz",
+        "pt": out_root / "images" / f"{pid}_pt.nii.gz",
+        "gtvt": out_root / "labels" / f"{pid}_gtvt.nii.gz",
+    }
+    return raw, proc
+
+
 def build_manifest_csv_only(df, nii_root, out_root, out_manifest_csv, export_per_domain_csv, ct_suffix, pt_suffix, gt_suffix):
-    img_out_dir = out_root / "images"
-    lab_out_dir = out_root / "labels"
-    ensure_dir(img_out_dir)
-    ensure_dir(lab_out_dir)
-    ensure_dir(out_manifest_csv.parent)
+    """``--mode split_only``: emit the manifest (raw paths, expected processed
+    paths, existence-checked status) without reading a single voxel. Column
+    schema is the contract data/hecktor21.py consumes (reference:
+    scripts/prepare_hecktor21.py:335-405)."""
+    for d in (out_root / "images", out_root / "labels", out_manifest_csv.parent):
+        ensure_dir(d)
 
     rows = []
     for _, r in df.iterrows():
-        pid = str(r["PatientID"])
-        if str(r.get("split", "")) == "ignore" or str(r.get("domain", "")) == "ignore":
+        if "ignore" in (str(r.get("split", "")), str(r.get("domain", ""))):
             continue
-        ct_path = nii_root / f"{pid}{ct_suffix}"
-        pt_path = nii_root / f"{pid}{pt_suffix}"
-        gt_path = nii_root / f"{pid}{gt_suffix}"
-        status = "ok" if (ct_path.exists() and pt_path.exists() and gt_path.exists()) else "missing_file"
-        rows.append(
-            {
-                "patient_id": pid,
-                "center_code": str(r["center_code"]),
-                "center_id": r.get("CenterID", None),
-                "domain": str(r.get("domain", "")),
-                "split": str(r.get("split", "")),
-                "status": status,
-                "ct_raw": str(ct_path),
-                "pt_raw": str(pt_path),
-                "gtvt_raw": str(gt_path),
-                "ct_proc": str(img_out_dir / f"{pid}_ct.nii.gz"),
-                "pt_proc": str(img_out_dir / f"{pid}_pt.nii.gz"),
-                "gtvt_proc": str(lab_out_dir / f"{pid}_gtvt.nii.gz"),
-            }
-        )
+        pid = str(r["PatientID"])
+        raw, proc = case_file_layout(pid, nii_root, out_root, ct_suffix, pt_suffix, gt_suffix)
+        row = {
+            "patient_id": pid,
+            "center_code": str(r["center_code"]),
+            "center_id": r.get("CenterID", None),
+            "domain": str(r.get("domain", "")),
+            "split": str(r.get("split", "")),
+            "status": "ok" if all(p.exists() for p in raw.values()) else "missing_file",
+        }
+        row.update({f"{m}_raw": str(p) for m, p in raw.items()})
+        row.update({f"{m}_proc": str(p) for m, p in proc.items()})
+        rows.append(row)
+
     df_out = pd.DataFrame(rows)
     df_out.to_csv(out_manifest_csv, index=False)
     if export_per_domain_csv and len(df_out) > 0:
@@ -389,12 +404,11 @@ def main():
             n_skipped += 1
             continue
 
-        ct_path = nii_root / f"{pid}{ct_suffix}"
-        pt_path = nii_root / f"{pid}{pt_suffix}"
-        gt_path = nii_root / f"{pid}{gt_suffix}"
-        raw_paths = {"ct_raw": str(ct_path), "pt_raw": str(pt_path), "gtvt_raw": str(gt_path)}
+        raw, _ = case_file_layout(pid, nii_root, out_root, ct_suffix, pt_suffix, gt_suffix)
+        ct_path, pt_path, gt_path = raw["ct"], raw["pt"], raw["gtvt"]
+        raw_paths = {f"{m}_raw": str(p) for m, p in raw.items()}
 
-        if not (ct_path.exists() and pt_path.exists() and gt_path.exists()):
+        if not all(p.exists() for p in raw.values()):
             rows.append({**base, "status": "missing_file", **raw_paths})
             n_skipped += 1
             continue

@@ -213,3 +213,127 @@ class TestLateFusion:
         y = m.apply(v, x)
         assert y.shape == (1, 16, 16, 16, 1)
         assert np.isfinite(np.asarray(y)).all()
+
+
+class TestPretrainedPort:
+    """torch-state_dict -> flax porting (VERDICT r2 missing #2).
+
+    torchvision isn't installed in this image, so the test hand-builds a
+    torch ResNet-18 with torchvision's exact module naming (conv1/bn1/
+    layer{L}.{J}.conv{K}/downsample.0/fc) — the porter's name contract —
+    and checks forward logits parity between the torch original and the
+    flax model initialized from its saved state_dict."""
+
+    @staticmethod
+    def _torch_resnet18(num_classes=10):
+        import torch
+        import torch.nn as tnn
+
+        class Block(tnn.Module):
+            def __init__(self, cin, cout, stride=1):
+                super().__init__()
+                self.conv1 = tnn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+                self.bn1 = tnn.BatchNorm2d(cout)
+                self.conv2 = tnn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+                self.bn2 = tnn.BatchNorm2d(cout)
+                self.downsample = None
+                if stride != 1 or cin != cout:
+                    self.downsample = tnn.Sequential(
+                        tnn.Conv2d(cin, cout, 1, stride, bias=False),
+                        tnn.BatchNorm2d(cout),
+                    )
+
+            def forward(self, x):
+                idt = x if self.downsample is None else self.downsample(x)
+                y = torch.relu(self.bn1(self.conv1(x)))
+                y = self.bn2(self.conv2(y))
+                return torch.relu(y + idt)
+
+        class Net(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+                self.bn1 = tnn.BatchNorm2d(64)
+                self.maxpool = tnn.MaxPool2d(3, 2, 1)
+                cin = 64
+                for i, (f, n) in enumerate(zip((64, 128, 256, 512), (2, 2, 2, 2))):
+                    blocks = []
+                    for j in range(n):
+                        blocks.append(Block(cin, f, 2 if (i > 0 and j == 0) else 1))
+                        cin = f
+                    setattr(self, f"layer{i + 1}", tnn.Sequential(*blocks))
+                self.fc = tnn.Linear(512, num_classes)
+
+            def forward(self, x):
+                x = torch.relu(self.bn1(self.conv1(x)))
+                x = self.maxpool(x)
+                for l in (self.layer1, self.layer2, self.layer3, self.layer4):
+                    x = l(x)
+                return self.fc(x.mean(dim=(2, 3)))
+
+        return Net()
+
+    def test_resnet18_port_forward_parity(self, tmp_path):
+        import torch
+
+        from multimodal_tta_tpu.models.pretrained import (
+            apply_pretrained,
+            load_torch_state_dict,
+            port_pretrained_variables,
+        )
+        from multimodal_tta_tpu.models.resnet import ResNet
+
+        torch.manual_seed(0)
+        tnet = self._torch_resnet18(num_classes=10)
+        # drive the BN running stats off their init so ported stats matter
+        tnet.train()
+        with torch.no_grad():
+            for _ in range(3):
+                tnet(torch.randn(4, 3, 32, 32))
+        tnet.eval()
+
+        x = torch.randn(2, 3, 32, 32)
+        with torch.no_grad():
+            want = tnet(x).numpy()
+
+        p = tmp_path / "resnet18.pt"
+        torch.save(tnet.state_dict(), p)
+
+        model = ResNet(variant="resnet18", num_classes=10)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=True)
+        ported = port_pretrained_variables("resnet18", str(p))
+        variables = apply_pretrained(jax.device_get(variables), ported, "resnet18")
+
+        xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+        _, logits = model.apply(variables, xj, train=False)
+        np.testing.assert_allclose(np.asarray(logits), want, rtol=1e-4, atol=1e-4)
+
+    def test_missing_porter_family_raises(self, tmp_path):
+        import torch
+
+        from multimodal_tta_tpu.models.pretrained import port_pretrained_variables
+
+        p = tmp_path / "sd.pt"
+        torch.save({"conv1.weight": torch.zeros(1, 1, 1, 1)}, p)
+        with pytest.raises(NotImplementedError):
+            port_pretrained_variables("unet", str(p))
+
+    def test_pretrained_without_source_raises(self):
+        from multimodal_tta_tpu.conf import ConfigNode
+        from multimodal_tta_tpu.core import ExperimentManager
+
+        cfg = ConfigNode(
+            {
+                "task": {"name": "hecktor21_seg", "seed": 0},
+                "model": {"name": "unet", "in_channels": 2, "num_classes": 1,
+                          "channels": [4, 8, 16, 32, 64], "strides": [2, 2, 2, 2],
+                          "num_res_units": 1, "pretrained": True},
+                "training": {
+                    "compute_dtype": "float32",
+                    "data": {"transforms": {"image_size": [16, 16, 16]}},
+                },
+            }
+        )
+        mgr = ExperimentManager(cfg)
+        with pytest.raises(ValueError, match="pretrained_source"):
+            mgr.setup_model()

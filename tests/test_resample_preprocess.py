@@ -334,3 +334,64 @@ class TestPrepareBrats:
         s = ds[0]
         assert s["image"].shape == (24, 28, 24, 4)
         assert s["label"].shape == (24, 28, 24, 3)
+
+
+class TestAssignSplits:
+    """Golden-split regression: the np.RandomState consumption order in
+    assign_splits is a bit-exactness contract with the reference pipeline
+    (SURVEY §7.3 hard-part 6) — these goldens pin it so the implementation
+    can be restructured freely without drifting the splits."""
+
+    @staticmethod
+    def _splits():
+        sys.path.insert(0, os.path.join(REPO_ROOT, "scripts"))
+        try:
+            from prepare_hecktor21 import assign_splits
+        finally:
+            sys.path.pop(0)
+        return assign_splits
+
+    @staticmethod
+    def _frame():
+        ids = [
+            f"{c}{i:03d}"
+            for c in ["CHGJ", "CHUS", "CHUM", "CHUP", "CHMR", "XXXX"]
+            for i in range(7)
+        ]
+        return pd.DataFrame({"patient_id": ids, "center_code": [i[:4] for i in ids]})
+
+    def test_golden_seed_2026(self):
+        assign_splits = self._splits()
+        out = assign_splits(
+            self._frame(), True, ["CHGJ", "CHUS", "CHUM"], ["CHUP", "CHMR"], 2, 2026, "ignore"
+        )
+        val = [r.patient_id for r in out.itertuples() if r.split == "val"]
+        assert val == ["CHGJ004", "CHGJ005", "CHUS005", "CHUS006", "CHUM000", "CHUM002"]
+        assert (out[out.center_code.isin(["CHUP", "CHMR"])]["split"] == "test").all()
+        assert (out[out.center_code.isin(["CHUP", "CHMR"])]["domain"] == "target").all()
+        assert (out[out.center_code == "XXXX"]["split"] == "ignore").all()
+        n_train = (out["split"] == "train").sum()
+        assert n_train == 3 * 7 - 6
+
+    def test_golden_other_policy_source(self):
+        assign_splits = self._splits()
+        out = assign_splits(self._frame(), True, ["CHGJ"], ["CHUS"], 3, 7, "source")
+        val = [(r.patient_id, r.split) for r in out.itertuples() if r.split == "val"]
+        assert val == [
+            ("CHGJ000", "val"), ("CHGJ002", "val"), ("CHGJ005", "val"),
+            ("CHUM001", "val"), ("CHUM002", "val"), ("CHUM005", "val"),
+            ("CHUP001", "val"), ("CHUP004", "val"), ("CHUP005", "val"),
+            ("CHMR003", "val"), ("CHMR004", "val"), ("CHMR005", "val"),
+            ("XXXX001", "val"), ("XXXX002", "val"), ("XXXX004", "val"),
+        ]
+
+    def test_split_disabled(self):
+        assign_splits = self._splits()
+        out = assign_splits(self._frame(), False, [], [], 0, 0, "ignore")
+        assert (out["domain"] == "all").all() and (out["split"] == "train").all()
+
+    def test_val_capped_at_center_size(self):
+        assign_splits = self._splits()
+        df = pd.DataFrame({"patient_id": ["CHGJ000", "CHGJ001"], "center_code": ["CHGJ", "CHGJ"]})
+        out = assign_splits(df, True, ["CHGJ"], [], 5, 0, "ignore")
+        assert (out["split"] == "val").all()

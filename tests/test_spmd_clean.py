@@ -1,0 +1,132 @@
+"""SPMD cleanliness of the multi-chip adapt step (VERDICT r2 missing #1).
+
+Compiles the tent ``adapt`` jit on a 4x2 data×space mesh — the exact
+configuration whose r2 dryrun tail logged XLA "[SPMD] Involuntary full
+rematerialization" warnings (replicate-then-repartition of norm-stat /
+deep-level activation tensors, i.e. wasted ICI/HBM traffic on the hot
+serving path) — and asserts the partitioner emits none. The persistent
+compilation cache is disabled for the compile so the partitioner genuinely
+runs (a cache hit would skip it and make the assertion vacuous); the
+compiled module is additionally checked to contain cross-chip collectives
+so a silently un-sharded compile can't pass either.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_tta_tpu.conf import ConfigNode
+from multimodal_tta_tpu.core.optim import build_optimizer
+from multimodal_tta_tpu.core.train_state import TrainState
+from multimodal_tta_tpu.models import UNet3D
+from multimodal_tta_tpu.parallel.mesh import make_mesh
+from multimodal_tta_tpu.tta import TentAdapter
+
+INVOLUNTARY = "Involuntary full rematerialization"
+
+
+@pytest.fixture
+def no_compile_cache():
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_compilation_cache", True)
+
+
+def _small_state_and_cfg():
+    cfg = ConfigNode(
+        {
+            "task": {"seed": 0},
+            "training": {
+                "optimizer": "adam",
+                "optimizers": {"adam": {"lr": 1e-3}},
+                "criterion": {"sigmoid": True},
+            },
+            "tta": {
+                "method": "tent",
+                "steps": 1,
+                "lr": 1e-3,
+                "optimizer": "sgd",
+                "momentum": 0.9,
+                "update": "norm",
+                "episodic": True,
+            },
+        }
+    )
+    model = UNet3D(
+        in_channels=2,
+        num_classes=1,
+        channels=(4, 8, 16, 32, 64),
+        strides=(2, 2, 2, 2),
+        num_res_units=1,
+        norm="INSTANCE",
+    )
+    x0 = jnp.zeros((1, 16, 16, 16, 2), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, train=True)
+    tx, _ = build_optimizer(cfg.training, variables["params"])
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=tx,
+    )
+    return state, cfg
+
+
+def test_adapt_compiles_without_involuntary_remat(capfd, no_compile_cache):
+    mesh = make_mesh(data=4, space=2)
+    state, cfg = _small_state_and_cfg()
+    with mesh:
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=mesh)
+        step = adapter._build_adapt_step(state)
+        img = jnp.zeros((8, 16, 16, 16, 2), jnp.float32)
+        opt0 = adapter._tx.init(adapter.trainable_subtree(state.params))
+        capfd.readouterr()  # drain anything logged during build
+        compiled = step.lower(
+            state.params,
+            state.batch_stats,
+            opt0,
+            img,
+            jax.random.PRNGKey(0),
+            jnp.int32(8),
+        ).compile()
+    captured = capfd.readouterr()
+    assert INVOLUNTARY not in captured.err, (
+        "SPMD partitioner fell back to replicate-then-repartition inside "
+        "jit(adapt):\n" + captured.err[-4000:]
+    )
+    # Guard against vacuity: the compile must actually have sharded the step
+    # (gradient/statistic all-reduce over the mesh shows up as collectives).
+    txt = compiled.as_text()
+    assert "all-reduce" in txt or "all-gather" in txt or "collective" in txt
+
+
+def test_adapt_executes_on_data_space_mesh(no_compile_cache):
+    """The sharding pins must not change adaptation numerics: the 4x2-mesh
+    adapted params match a single-device (no-mesh) adaptation bit-for-bit in
+    f32 tolerance."""
+    state, cfg = _small_state_and_cfg()
+    rng = np.random.RandomState(1)
+    img = rng.randn(8, 16, 16, 16, 2).astype(np.float32)
+
+    mesh = make_mesh(data=4, space=2)
+    with mesh:
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=mesh)
+        adapt_fn = adapter.make_adapt_fn(state)
+        adapted_mesh = adapt_fn(state, jnp.asarray(img), 8)
+        ent_mesh = adapter.last_entropy
+
+    adapter1 = TentAdapter(cfg.tta, config=cfg, mesh=None)
+    adapt1 = adapter1.make_adapt_fn(state)
+    adapted_1 = adapt1(state, jnp.asarray(img), 8)
+    ent_1 = adapter1.last_entropy
+
+    assert np.isfinite(ent_mesh) and np.isfinite(ent_1)
+    assert abs(ent_mesh - ent_1) < 1e-4
+    flat_m = jax.tree_util.tree_leaves(adapted_mesh.params)
+    flat_1 = jax.tree_util.tree_leaves(adapted_1.params)
+    for a, b in zip(flat_m, flat_1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
