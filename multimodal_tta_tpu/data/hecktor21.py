@@ -138,21 +138,30 @@ def build_center_splits(
         df = df[has_label].copy()
 
     df[center_code_col] = df[center_code_col].astype(str).str.upper()
-    target = str(target_center).upper().strip()
-    if not target:
+    # multi-target: a comma-separated string (or list) holds several centers
+    # out at once — the streaming continual-TTA protocol (BASELINE config
+    # #5) needs an ordered multi-domain test stream; single-center behavior
+    # (the reference's leave-one-center-out) is unchanged.
+    raw = (
+        target_center.split(",")
+        if isinstance(target_center, str)
+        else list(target_center)
+    )
+    targets = {str(t).upper().strip() for t in raw if str(t).strip()}
+    if not targets:
         raise ValueError("[HECKTOR21] target_center cannot be empty")
 
-    is_target = df[center_code_col] == target
+    is_target = df[center_code_col].isin(targets)
     test_df = df[is_target].copy()
     source_df = df[~is_target].copy()
     if test_df.empty:
         raise ValueError(
-            f"[HECKTOR21] no usable rows for target_center='{target}' — "
+            f"[HECKTOR21] no usable rows for target_center(s) {sorted(targets)} — "
             f"available centers: {sorted(df[center_code_col].unique().tolist())}"
         )
     if source_df.empty:
         raise ValueError(
-            f"[HECKTOR21] every row belongs to target_center='{target}'; "
+            f"[HECKTOR21] every row belongs to target_center(s) {sorted(targets)}; "
             f"nothing left to train on."
         )
 

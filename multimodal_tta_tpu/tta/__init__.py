@@ -1,5 +1,12 @@
 from .engine import TTAEngine  # noqa: F401
 from .norm_adapt import NormAdapter  # noqa: F401 (registers "norm")
+from .stream import StreamTTAController  # noqa: F401
 from .tent import TentAdapter, norm_param_mask  # noqa: F401 (registers "tent")
 
-__all__ = ["TTAEngine", "TentAdapter", "NormAdapter", "norm_param_mask"]
+__all__ = [
+    "TTAEngine",
+    "TentAdapter",
+    "NormAdapter",
+    "StreamTTAController",
+    "norm_param_mask",
+]

@@ -1,0 +1,148 @@
+"""Streaming continual TTA over ordered domain shifts (BASELINE config #5).
+
+The serving shape this models: an endless test stream whose domain changes
+over time — scanner A cases, then scanner B, then C. Plain continual Tent on
+such a stream has two measured failure modes (BASELINE.md TTA section):
+over-adaptation collapse (entropy driven toward degenerate confidence —
+Dice fell to ~0.29 at steps=16 on the scanner-shift fixture) and stale-
+domain carry-over (state adapted to scanner A starting scanner B worse than
+source). The reference has only the per-domain METRIC machinery this feeds
+(reference: src/evaluation/seg_eval.py:362-392); the stream control itself
+is a new capability.
+
+``StreamTTAController`` owns the adapted state across the stream:
+
+  Reset policy (``policy``):
+    - ``"episodic"``               re-anchor to source before every batch
+    - ``"continual"``              never re-anchor (plain online Tent)
+    - ``"reset_on_domain_change"`` continual within a domain, re-anchor at
+                                   domain boundaries (domain labels come
+                                   with the stream; the manifest has them)
+
+  Collapse guard (orthogonal, ``guard=True``): an entropy watchdog. The
+  final-step adaptation entropy is compared against a floor derived from
+  the stream's FIRST pre-adaptation entropy (``entropy_floor_ratio * e0``).
+  Dropping below the floor is the collapse signature — entropy minimization
+  has driven predictions degenerate-confident — and triggers a re-anchor
+  (source params + fresh optimizer state). ``periodic_reanchor_every``
+  additionally bounds drift without any trigger.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+
+from ..conf.node import ConfigNode
+from ..utils.config import get_config
+from ..utils.logger import get_logger
+
+POLICIES = ("episodic", "continual", "reset_on_domain_change")
+
+
+class StreamTTAController:
+    def __init__(
+        self,
+        adapter,
+        source_state,
+        *,
+        threshold: float,
+        policy: str = "continual",
+        guard: bool = False,
+        entropy_floor_ratio: float = 0.2,
+        periodic_reanchor_every: int = 0,
+        predict_mode: str = "inline",
+    ):
+        if str(policy) not in POLICIES:
+            raise ValueError(f"[stream] unknown policy {policy!r}; known: {POLICIES}")
+        if adapter.episodic:
+            raise ValueError(
+                "[stream] the controller owns reset policy — build the "
+                "adapter with episodic=false and choose policy='episodic' "
+                "here instead"
+            )
+        self.adapter = adapter
+        self.policy = str(policy)
+        self.guard = bool(guard)
+        self.floor_ratio = float(entropy_floor_ratio)
+        self.period = int(periodic_reanchor_every or 0)
+        self.logger = get_logger()
+
+        self._source_state = source_state
+        self._ap = adapter.make_adapt_predict_fn(
+            source_state, threshold=float(threshold), predict_mode=predict_mode
+        )
+        self.state = source_state
+        self._e0: Optional[float] = None
+        self._last_domain: Optional[str] = None
+        self._n_batches = 0
+        self.n_reanchors = 0
+        self.reanchor_log = []  # (batch_idx, reason)
+
+    @classmethod
+    def from_config(cls, adapter, source_state, config, *, threshold: float):
+        scfg = get_config(config, "tta.stream", ConfigNode())
+        return cls(
+            adapter,
+            source_state,
+            threshold=threshold,
+            policy=str(get_config(scfg, "policy", "continual")),
+            guard=bool(get_config(scfg, "guard", False)),
+            entropy_floor_ratio=float(get_config(scfg, "entropy_floor_ratio", 0.2)),
+            periodic_reanchor_every=int(get_config(scfg, "periodic_reanchor_every", 0)),
+            predict_mode=str(get_config(config, "tta.predict", "inline")),
+        )
+
+    # ------------------------------------------------------------------
+    def reanchor(self, reason: str = "manual") -> None:
+        """Back to the source model: params, batch stats AND optimizer
+        momentum (a re-anchor that keeps stale momentum immediately walks
+        back toward the state it just abandoned)."""
+        self.state = self._source_state
+        self.adapter.reset_optimizer()
+        self.n_reanchors += 1
+        self.reanchor_log.append((self._n_batches, reason))
+        self.logger.info(f"[stream] re-anchored to source at batch {self._n_batches} ({reason})")
+
+    def step(
+        self, image, n_valid: int, domain: Optional[str] = None
+    ) -> Tuple[Any, Dict[str, Any]]:
+        """Adapt + predict one stream batch; returns (pred, info)."""
+        if self.policy == "episodic":
+            self.reanchor("episodic")
+            self.reanchor_log.pop()  # per-batch resets aren't events
+            self.n_reanchors -= 1
+        elif self.policy == "reset_on_domain_change":
+            if domain is not None and self._last_domain is not None and domain != self._last_domain:
+                self.reanchor(f"domain {self._last_domain} -> {domain}")
+        self._last_domain = domain
+
+        self.state, pred = self._ap(self.state, jnp.asarray(image), int(n_valid))
+        ents = self.adapter._last_ents
+        ent_first = float(ents[0])
+        ent_final = float(ents[-1])
+        if self._e0 is None:
+            # the stream's first pre-adaptation entropy anchors the floor
+            self._e0 = ent_first
+        self._n_batches += 1
+
+        info = {
+            "entropy_first": ent_first,
+            "entropy_final": ent_final,
+            "domain": domain,
+            "reanchored": False,
+            "reason": None,
+        }
+        if self.guard and self._e0 > 0 and ent_final < self.floor_ratio * self._e0:
+            info["reanchored"] = True
+            info["reason"] = (
+                f"entropy watchdog: {ent_final:.4g} < "
+                f"{self.floor_ratio:.2f} * e0={self._e0:.4g}"
+            )
+            self.reanchor(info["reason"])
+        elif self.period and self._n_batches % self.period == 0:
+            info["reanchored"] = True
+            info["reason"] = f"periodic every {self.period}"
+            self.reanchor(info["reason"])
+        return pred, info

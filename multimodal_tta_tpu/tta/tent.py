@@ -187,6 +187,14 @@ class TentAdapter:
         self._last_ents = None
         self._rng = jax.random.PRNGKey(int(get_config(self.config, "task.seed", 0)) + 777)
 
+    def reset_optimizer(self) -> None:
+        """Drop accumulated optimizer state (momentum) back to its source
+        init — the state-reset half of a streaming re-anchor; the param
+        half is the caller swapping its carried TrainState for the source
+        one (tta/stream.py reset policies)."""
+        if getattr(self, "_opt_state0", None) is not None:
+            self._opt_state = self._opt_state0
+
     @property
     def last_entropy(self) -> Optional[float]:
         """Final-step entropy of the most recent adaptation. Lazily synced:
@@ -506,6 +514,7 @@ class TentAdapter:
         if self._adapt_step is None:
             self._adapt_step = self._build_adapt_step(source_state)
         opt_state0 = self._tx.init(self.trainable_subtree(source_state.params))
+        self._opt_state0 = opt_state0
         self._opt_state = opt_state0
         self._last_ents = None
 
@@ -542,6 +551,7 @@ class TentAdapter:
             source_state, predict_threshold=float(threshold), predict_mode=mode
         )
         opt_state0 = self._tx.init(self.trainable_subtree(source_state.params))
+        self._opt_state0 = opt_state0
         self._opt_state = opt_state0
         self._last_ents = None
 

@@ -1,0 +1,290 @@
+"""Streaming continual-TTA protocol validation (BASELINE config #5).
+
+An ordered multi-domain test stream — center CHUP (scanner shift A), then
+center CHMR (a different shift B) — served with online Tent under each
+reset policy of ``tta/stream.py``, reporting Dice per stream position and
+per domain, plus re-anchor events. Two regimes:
+
+  - the measured operating point (steps=4, lr=0.05, focus=uncertain —
+    BASELINE.md adaptation-quality table), where the question is whether a
+    policy keeps the recovery across the A->B domain boundary, and
+  - the measured collapse regime (steps=16, lr=0.1 continual, where plain
+    continual Tent fell to Dice 0.29), where the question is whether the
+    entropy watchdog prevents the collapse.
+
+    python scripts/validate_stream_tta.py [--epochs 24] [--out r.json] \
+        [--resume <ckpt-sans-extension>]
+
+The reference repo has only the per-domain metric machinery this protocol
+feeds (reference: src/evaluation/seg_eval.py:362-392); the streaming
+control + guard are new capability.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from multimodal_tta_tpu.utils.jax_setup import apply_platform_env, enable_compilation_cache  # noqa: E402
+
+apply_platform_env()
+enable_compilation_cache()
+
+# Two DIFFERENT scanner shifts: the A->B boundary must be a real domain
+# change, not more of the same. A = the validate_tta.py shift; B = opposite
+# CT gain direction, milder PET nonlinearity, stronger bias field.
+SHIFTS = {
+    "CHUP": {
+        "bias_field": 0.6,
+        "ct_gain": 1.3,
+        "ct_bias": 80.0,
+        "pt_gamma": 2.0,
+        "pt_gain": 0.6,
+        "noise": 150.0,
+    },
+    "CHMR": {
+        "bias_field": 0.8,
+        "ct_gain": 0.75,
+        "ct_bias": -60.0,
+        "pt_gamma": 1.4,
+        "pt_gain": 1.5,
+        "noise": 100.0,
+    },
+}
+
+STREAM_ORDER = ["CHUP", "CHMR"]
+
+
+def ensure_fixture(root: str, shape=(144, 144, 48), per_center: int = 16) -> str:
+    manifest = os.path.join(root, "manifest.csv")
+    if os.path.exists(manifest):
+        return manifest
+    from multimodal_tta_tpu.data.synthetic import make_hecktor_fixture
+
+    print("[stream_tta] generating two-shift fixture ...", file=sys.stderr)
+    small = min(shape) < 48
+    return make_hecktor_fixture(
+        root,
+        centers={c: per_center for c in ["CHGJ", "CHUS", "CHUM", "CHUP", "CHMR"]},
+        shape=tuple(shape),
+        seed=11,
+        n_lesions=(1, 3) if not small else (1, 1),
+        radius_range=(4.0, 9.0) if not small else (3.0, 4.0),
+        lesion_contrast=(150.0, 4.0),  # low contrast: non-degenerate entropy
+        domain_shift=SHIFTS,
+    )
+
+
+def train_source(manifest: str, epochs: int, out_root: str, resume=None,
+                 shape=(144, 144, 48)):
+    from _validate_common import bring_up
+
+    x, y, z = shape
+    overrides = [
+        "task=hecktor21",
+        "dataset=hecktor21",
+        "model=unet",
+        f"dataset.manifest_csv={manifest}",
+        f"dataset.expected_shape=[{x},{y},{z}]",
+        f"training.data.transforms.image_size=[{z},{y},{x}]",
+        "dataset.target_center=CHUP,CHMR",  # both stream domains held out
+        "dataset.val_per_center=2",
+        "dataset.cache_in_memory=true",
+        f"training.epochs={epochs}",
+        "training.batch_size=8",
+        "training.eval_batch_size=8",
+        "training.num_workers=8",
+        "training.device_cache=true",
+        "training.optimizer=adam",
+        "training.optimizers.adam.lr=1e-3",
+        "training.eval_test.start_epoch=0",
+        f"training.eval_test.every_n_epochs={max(epochs // 3, 1)}",
+        "training.eval_test.run_last=true",
+        "training.eval_test.do_test=false",
+        "training.model_save_start=9999",
+        f"task.save_dir={out_root}",
+        "task.run_name=stream_tta_validate",
+    ]
+    return bring_up(overrides, resume=resume, tag="stream_tta")
+
+
+def stream_batches(manager):
+    """Ordered stream: every batch of domain A, then every batch of B.
+    Yields (domain, batch)."""
+    for center in STREAM_ORDER:
+        loader = manager._builder.get_loader("test", target_center=center)
+        for batch in loader:
+            yield center, batch
+
+
+def dice_of(pred, label, n) -> list:
+    import numpy as np
+
+    out = []
+    p = np.asarray(pred)[:n].astype(np.float64)
+    y = np.asarray(label)[:n].astype(np.float64)
+    for i in range(n):
+        if y[i].sum() > 0:
+            out.append(2.0 * (p[i] * y[i]).sum() / max(p[i].sum() + y[i].sum(), 1.0))
+    return out
+
+
+def run_policy(manager, cfg, device_transform, *, policy, guard, steps, lr,
+               threshold=0.3, floor_ratio=0.2):
+    """One pass over the ordered stream under one controller config."""
+    import numpy as np
+
+    from multimodal_tta_tpu.conf import ConfigNode
+    from multimodal_tta_tpu.tta import StreamTTAController, TentAdapter
+
+    tta_cfg = ConfigNode(
+        {"method": "tent", "steps": steps, "lr": lr, "optimizer": "sgd",
+         "momentum": 0.9, "update": "norm", "episodic": False,
+         "entropy_focus": "uncertain"}
+    )
+    adapter = TentAdapter(tta_cfg, config=cfg, mesh=manager.mesh,
+                          device_transform=device_transform)
+    ctrl = StreamTTAController(
+        adapter, manager.state, threshold=threshold, policy=policy,
+        guard=guard, entropy_floor_ratio=floor_ratio, predict_mode="inline",
+    )
+    per_domain = {}
+    positions = []
+    with manager.mesh:
+        for pos, (domain, batch) in enumerate(stream_batches(manager)):
+            n = int(batch.get("_n_valid", batch["image"].shape[0]))
+            pred, info = ctrl.step(batch["image"], n, domain=domain)
+            ds = dice_of(pred, batch["label"], n)
+            per_domain.setdefault(domain, []).extend(ds)
+            positions.append(
+                {"pos": pos, "domain": domain,
+                 "dice": round(float(np.mean(ds)), 4) if ds else None,
+                 "entropy": round(info["entropy_final"], 5),
+                 "reanchored": info["reanchored"]}
+            )
+    row = {
+        "policy": policy + ("+guard" if guard else ""),
+        "steps": steps,
+        "lr": lr,
+        "avg_dc": round(float(np.mean([d for v in per_domain.values() for d in v])), 4),
+        "reanchors": ctrl.n_reanchors,
+        "positions": positions,
+    }
+    for dom, v in per_domain.items():
+        row[f"dom/{dom}/avg_dc"] = round(float(np.mean(v)), 4)
+    return row
+
+
+def run_no_adapt(manager, cfg, device_transform, threshold=0.3):
+    import numpy as np
+    import jax
+
+    from multimodal_tta_tpu.ops.intensity import make_intensity_normalizer
+    import jax.numpy as jnp
+
+    norm_fn = None
+    if device_transform and device_transform.get("normalize"):
+        norm_fn = make_intensity_normalizer(
+            normalize=True,
+            intensity_policy=device_transform.get("intensity_policy"),
+            channel_names=device_transform.get("channel_names"),
+            mean=device_transform.get("mean"),
+            std=device_transform.get("std"),
+        )
+
+    state = manager.state
+
+    @jax.jit
+    def predict(variables_params, batch_stats, x):
+        x = x.astype(jnp.float32)
+        if norm_fn is not None:
+            x = jax.vmap(norm_fn)(x)
+        variables = {"params": variables_params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        logits = state.apply_fn(variables, x, train=False)
+        return (jax.nn.sigmoid(logits) >= threshold).astype(jnp.uint8)
+
+    per_domain = {}
+    with manager.mesh:
+        for domain, batch in stream_batches(manager):
+            n = int(batch.get("_n_valid", batch["image"].shape[0]))
+            pred = predict(state.params, state.batch_stats, jnp.asarray(batch["image"]))
+            per_domain.setdefault(domain, []).extend(dice_of(pred, batch["label"], n))
+    row = {"policy": "no_adapt",
+           "avg_dc": round(float(np.mean([d for v in per_domain.values() for d in v])), 4)}
+    for dom, v in per_domain.items():
+        row[f"dom/{dom}/avg_dc"] = round(float(np.mean(v)), 4)
+    return row
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=24)
+    ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=0.05)
+    ap.add_argument("--collapse-steps", type=int, default=16)
+    ap.add_argument("--collapse-lr", type=float, default=0.1)
+    ap.add_argument("--resume", default=None)
+    ap.add_argument("--fixture", default=os.path.join(REPO_ROOT, ".stream_tta_fixture"))
+    ap.add_argument("--shape", type=int, nargs=3, default=[144, 144, 48],
+                    help="fixture volume shape X Y Z (small values = smoke test)")
+    ap.add_argument("--per-center", type=int, default=16)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    manifest = ensure_fixture(args.fixture, shape=tuple(args.shape), per_center=args.per_center)
+    manager, cfg = train_source(
+        manifest, args.epochs, os.path.join(args.fixture, "runs"),
+        resume=args.resume, shape=tuple(args.shape),
+    )
+
+    from _validate_common import device_transform_of
+
+    device_transform = device_transform_of(manager)
+    rows = []
+
+    def emit(row):
+        rows.append(row)
+        print(json.dumps({k: v for k, v in row.items() if k != "positions"}))
+
+    emit(run_no_adapt(manager, cfg, device_transform))
+
+    op = dict(steps=args.steps, lr=args.lr)
+    emit(run_policy(manager, cfg, device_transform, policy="episodic", guard=False, **op))
+    emit(run_policy(manager, cfg, device_transform, policy="continual", guard=False, **op))
+    emit(run_policy(manager, cfg, device_transform,
+                    policy="reset_on_domain_change", guard=False, **op))
+    emit(run_policy(manager, cfg, device_transform, policy="continual", guard=True, **op))
+
+    # collapse regime: plain continual collapses (BASELINE Dice 0.29); the
+    # watchdog must prevent it
+    cl = dict(steps=args.collapse_steps, lr=args.collapse_lr)
+    emit(run_policy(manager, cfg, device_transform, policy="continual", guard=False, **cl))
+    emit(run_policy(manager, cfg, device_transform, policy="continual", guard=True, **cl))
+
+    no_adapt = rows[0]["avg_dc"]
+    collapse = rows[-2]["avg_dc"]
+    guarded = rows[-1]["avg_dc"]
+    verdict = {
+        "no_adapt": no_adapt,
+        "best_policy": max(rows[1:5], key=lambda r: r["avg_dc"])["policy"],
+        "best_avg_dc": max(r["avg_dc"] for r in rows[1:5]),
+        "collapse_unguarded": collapse,
+        "collapse_guarded": guarded,
+        "guard_rescue": round(guarded - collapse, 4),
+    }
+    print(json.dumps(verdict))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"rows": rows, "verdict": verdict}, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

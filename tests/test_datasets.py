@@ -77,6 +77,25 @@ class TestSplitParity:
         assert not (ids(train) & ids(test))
         assert all(pid.startswith("CHUS") for pid in ids(test))
 
+    def test_multi_target_split(self, tmp_path):
+        """Comma-separated target_center holds several centers out at once
+        (the streaming-TTA multi-domain protocol); sources shrink to the
+        rest."""
+        manifest = make_hecktor_fixture(str(tmp_path / "multi"))
+        kw = dict(
+            manifest_csv=manifest,
+            target_center="CHUS,CHUM",
+            val_per_center=1,
+            split_seed=2026,
+            expected_shape=(12, 12, 6),
+        )
+        train = Hecktor21Dataset(split="train", **kw)
+        test = Hecktor21Dataset(split="test", **kw)
+        ids = lambda ds: {r["patient_id"] for r in ds._rows}
+        assert all(pid[:4] in ("CHUS", "CHUM") for pid in ids(test))
+        assert len(test) == 4 + 4
+        assert all(pid.startswith("CHGJ") for pid in ids(train))
+
 
 class TestBinaryMask:
     def test_01(self):

@@ -1,0 +1,182 @@
+"""StreamTTAController: reset policies + entropy collapse guard
+(BASELINE config #5 — streaming continual TTA over ordered domain shifts)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_tta_tpu.conf import ConfigNode
+from multimodal_tta_tpu.core.train_state import TrainState
+from multimodal_tta_tpu.models import UNet3D
+from multimodal_tta_tpu.tta import StreamTTAController, TentAdapter
+
+import optax
+
+
+def _state():
+    model = UNet3D(
+        in_channels=1,
+        num_classes=1,
+        channels=(4, 8),
+        strides=(2,),
+        num_res_units=1,
+        norm="INSTANCE",
+    )
+    x0 = jnp.zeros((1, 8, 8, 8, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, train=True)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=optax.identity(),
+    )
+
+
+def _adapter(state, steps=1, lr=1e-3, momentum=0.9):
+    cfg = ConfigNode(
+        {
+            "task": {"seed": 0},
+            "training": {"criterion": {"sigmoid": True}},
+            "tta": {
+                "method": "tent",
+                "steps": steps,
+                "lr": lr,
+                "optimizer": "sgd",
+                "momentum": momentum,
+                "update": "norm",
+                "episodic": False,
+                "entropy_focus": "all",
+            },
+        }
+    )
+    return TentAdapter(cfg.tta, config=cfg, mesh=None)
+
+
+def _batch(seed=0, b=2):
+    return np.random.RandomState(seed).randn(b, 8, 8, 8, 1).astype(np.float32)
+
+
+def _params_equal(a, b) -> bool:
+    fa = jax.tree_util.tree_leaves(a)
+    fb = jax.tree_util.tree_leaves(b)
+    return all(np.array_equal(np.asarray(x), np.asarray(y)) for x, y in zip(fa, fb))
+
+
+class TestPolicies:
+    def test_rejects_episodic_adapter(self):
+        state = _state()
+        cfg = ConfigNode(
+            {"training": {"criterion": {"sigmoid": True}},
+             "tta": {"method": "tent", "episodic": True}}
+        )
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+        with pytest.raises(ValueError, match="episodic"):
+            StreamTTAController(adapter, state, threshold=0.5, policy="episodic")
+
+    def test_unknown_policy_raises(self):
+        state = _state()
+        with pytest.raises(ValueError, match="policy"):
+            StreamTTAController(_adapter(state), state, threshold=0.5, policy="bogus")
+
+    def test_episodic_policy_always_adapts_from_source(self):
+        state = _state()
+        ctrl = StreamTTAController(_adapter(state), state, threshold=0.5, policy="episodic")
+        ctrl.step(_batch(0), 2)
+        after_first = ctrl.state.params
+        # episodic: second batch adapts from SOURCE again, so identical input
+        # yields identical adapted params (a continual run would differ)
+        ctrl.step(_batch(0), 2)
+        assert _params_equal(after_first, ctrl.state.params)
+
+    def test_continual_carries_state(self):
+        state = _state()
+        ctrl = StreamTTAController(_adapter(state), state, threshold=0.5, policy="continual")
+        ctrl.step(_batch(0), 2)
+        after_first = ctrl.state.params
+        ctrl.step(_batch(0), 2)
+        assert not _params_equal(after_first, ctrl.state.params)
+        assert ctrl.n_reanchors == 0
+
+    def test_reset_on_domain_change(self):
+        state = _state()
+        ctrl = StreamTTAController(
+            _adapter(state), state, threshold=0.5, policy="reset_on_domain_change"
+        )
+        ctrl.step(_batch(0), 2, domain="A")
+        ctrl.step(_batch(1), 2, domain="A")
+        assert ctrl.n_reanchors == 0
+        drifted = ctrl.state.params
+        assert not _params_equal(drifted, state.params)
+        _, info = ctrl.step(_batch(2), 2, domain="B")
+        assert ctrl.n_reanchors == 1
+        assert "A -> B" in ctrl.reanchor_log[0][1]
+        # the boundary batch adapted from SOURCE, not from the domain-A state
+        expected_ctrl = StreamTTAController(
+            _adapter(state), state, threshold=0.5, policy="continual"
+        )
+        expected_ctrl.step(_batch(2), 2)
+        assert _params_equal(ctrl.state.params, expected_ctrl.state.params)
+
+
+class TestCollapseGuard:
+    def test_watchdog_reanchors_on_entropy_collapse(self):
+        state = _state()
+        # aggressive setting: many steps, big lr — the measured collapse regime
+        adapter = _adapter(state, steps=24, lr=0.5)
+        ctrl = StreamTTAController(
+            adapter, state, threshold=0.5, policy="continual",
+            guard=True, entropy_floor_ratio=0.5,
+        )
+        reanchored = False
+        for i in range(6):
+            _, info = ctrl.step(_batch(i), 2)
+            if info["reanchored"]:
+                reanchored = True
+                assert "watchdog" in info["reason"]
+                # after the re-anchor the carried state is the source again
+                assert _params_equal(ctrl.state.params, state.params)
+                break
+        assert reanchored, "entropy watchdog never fired in the collapse regime"
+
+    def test_no_reanchor_in_gentle_regime(self):
+        state = _state()
+        adapter = _adapter(state, steps=1, lr=1e-4)
+        ctrl = StreamTTAController(
+            adapter, state, threshold=0.5, policy="continual",
+            guard=True, entropy_floor_ratio=0.2,
+        )
+        for i in range(4):
+            _, info = ctrl.step(_batch(i), 2)
+            assert not info["reanchored"]
+        assert ctrl.n_reanchors == 0
+
+    def test_periodic_reanchor(self):
+        state = _state()
+        ctrl = StreamTTAController(
+            _adapter(state), state, threshold=0.5, policy="continual",
+            periodic_reanchor_every=2,
+        )
+        for i in range(6):
+            ctrl.step(_batch(i), 2)
+        assert ctrl.n_reanchors == 3
+
+    def test_from_config(self):
+        state = _state()
+        cfg = ConfigNode(
+            {
+                "tta": {
+                    "predict": "inline",
+                    "stream": {
+                        "policy": "reset_on_domain_change",
+                        "guard": True,
+                        "entropy_floor_ratio": 0.3,
+                        "periodic_reanchor_every": 7,
+                    },
+                }
+            }
+        )
+        ctrl = StreamTTAController.from_config(_adapter(state), state, cfg, threshold=0.4)
+        assert ctrl.policy == "reset_on_domain_change"
+        assert ctrl.guard and ctrl.floor_ratio == 0.3 and ctrl.period == 7
