@@ -88,20 +88,106 @@ def run_one(model_name: str, manifest: str, epochs: int, out_root: str) -> dict:
     }
 
 
+def ensure_brats_fixture(root: str) -> str:
+    """Structured multi-region BraTS fixture with SMALL enhancing cores —
+    the half-resolution head's worst case (VERDICT r2 weak #7: unet_ws was
+    characterized on single-region HECKTOR only; ET is where it should
+    hurt)."""
+    csv_path = os.path.join(root, "GLIPRE", "processed.csv")
+    if os.path.exists(csv_path):
+        return csv_path
+    from multimodal_tta_tpu.data.synthetic import make_brats_fixture
+
+    print("[validate] generating multi-region BraTS fixture ...", file=sys.stderr)
+    csvs = make_brats_fixture(
+        root,
+        shape=(96, 96, 64),
+        seed=7,
+        sources={"GLIPRE": {"profile": "gli", "cases": {"train": 28, "test": 8}}},
+        n_lesions=(1, 2),
+        radius_range=(4.0, 10.0),  # ET core = innermost shell, ~1/3 radius
+    )
+    return csvs["GLIPRE"]
+
+
+def run_one_brats(model_name: str, csv_path: str, epochs: int, out_root: str) -> dict:
+    from _validate_common import bring_up
+
+    overrides = [
+        "task=brats",
+        "dataset=brats",
+        "model=unet",
+        f"model.name={model_name}",
+        "model.in_channels=4",
+        "model.num_classes=3",
+        "dataset.expected_shape=[96,96,64]",
+        "training.data.transforms.image_size=[64,96,96]",
+        f"training.epochs={epochs}",
+        "training.batch_size=4",
+        "training.eval_batch_size=4",
+        "training.num_workers=8",
+        "dataset.cache_in_memory=true",
+        "training.optimizer=adam",
+        "training.optimizers.adam.lr=1e-3",
+        "training.eval_test.start_epoch=0",
+        f"training.eval_test.every_n_epochs={max(epochs // 4, 1)}",
+        "training.eval_test.run_last=true",
+        "training.eval_test.do_test=false",
+        "training.model_save_start=9999",
+        f"task.save_dir={out_root}",
+        f"task.run_name=ws_brats_{model_name}",
+    ]
+
+    def mutate(cfg):
+        # one source: train on its train split, validate on its test split
+        cfg.dataset.sources = [
+            {
+                "name": "glipre",
+                "profile": "gli",
+                "csv_path": csv_path,
+                "root_dir": None,
+                "include_splits": {"train": ["train"], "val": ["test"], "test": []},
+            }
+        ]
+
+    manager, cfg = bring_up(overrides, mutate_cfg=mutate, tag="validate_ws_brats")
+    results = manager.last_train_results
+    wall = manager.last_train_wall_s
+    evals = results.get("eval_history", [])
+    best = max(evals, key=lambda e: e.get("avg_dc", 0.0)) if evals else {}
+    return {
+        "model": model_name,
+        "task": "brats_multi_region",
+        "epochs": epochs,
+        "best_val_avg_dc": round(float(best.get("avg_dc", 0.0)), 4),
+        "et_dc": round(float(best.get("et_dc", 0.0)), 4),
+        "tc_dc": round(float(best.get("tc_dc", 0.0)), 4),
+        "wt_dc": round(float(best.get("wt_dc", 0.0)), 4),
+        "wall_s": round(wall, 1),
+        "s_per_epoch": round(wall / max(epochs, 1), 2),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=24)
-    ap.add_argument("--fixture", default=os.path.join(REPO_ROOT, ".ws_validate_fixture"))
+    ap.add_argument("--task", choices=["hecktor", "brats"], default="hecktor")
+    ap.add_argument("--fixture", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--models", nargs="+", default=["unet", "unet_ws"])
     args = ap.parse_args()
 
-    manifest = ensure_fixture(args.fixture)
-    out_root = os.path.join(args.fixture, "runs")
+    fixture = args.fixture or os.path.join(
+        REPO_ROOT, ".ws_validate_fixture" if args.task == "hecktor" else ".ws_brats_fixture"
+    )
+    out_root = os.path.join(fixture, "runs")
 
     rows = []
     for m in args.models:
-        r = run_one(m, manifest, args.epochs, out_root)
+        if args.task == "brats":
+            r = run_one_brats(m, ensure_brats_fixture(fixture), args.epochs, out_root)
+        else:
+            r = run_one(m, ensure_fixture(fixture), args.epochs, out_root)
         rows.append(r)
         print(json.dumps(r))
 
@@ -112,6 +198,8 @@ def main() -> None:
             "within_tolerance_0.02": bool(abs(d) <= 0.02 or d > 0),
             "speedup_wall": round(rows[0]["s_per_epoch"] / max(rows[1]["s_per_epoch"], 1e-9), 2),
         }
+        if args.task == "brats":
+            verdict["et_delta_ws_minus_unet"] = round(rows[1]["et_dc"] - rows[0]["et_dc"], 4)
         print(json.dumps(verdict))
     if args.out:
         with open(args.out, "w") as f:
