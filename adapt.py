@@ -71,11 +71,44 @@ def main(argv=None):
         results["no_adapt"] = no_adapt
         logger.info(f"[no-adapt] {no_adapt}")
 
-    logger.info(f"Evaluating with TTA method '{engine.method}'...")
-    with manager.mesh:
-        adapted = engine.evaluate(manager.state, test_loader)
+    if bool(get_config(cfg, "tta.stream.enabled", False)):
+        # streaming protocol (BASELINE config #5): ordered domain stream
+        # through StreamTTAController (reset policy + collapse guard)
+        from multimodal_tta_tpu.tta.stream import StreamTTAController, evaluate_stream
+
+        if engine.adapter is None:
+            raise ValueError("tta.stream.enabled requires a TTA method (tta=tent)")
+        thr = float(get_config(cfg, "evaluation.seg.threshold", 0.5))
+        ctrl = StreamTTAController.from_config(
+            engine.adapter, manager.state, cfg, threshold=thr
+        )
+        order = get_config(cfg, "tta.stream.domain_order", None)
+        if order:
+            stream = (
+                (dom, batch)
+                for dom in order
+                for batch in builder.get_loader("test", target_center=str(dom))
+            )
+        else:
+            stream = (
+                (batch.get("domain", ["?"])[0], batch) for batch in test_loader
+            )
+        logger.info(
+            f"Streaming TTA: policy={ctrl.policy} guard={ctrl.guard} "
+            f"order={list(order) if order else 'test-split order'}"
+        )
+        with manager.mesh:
+            adapted = evaluate_stream(ctrl, stream)
+        logger.info(
+            f"[stream] avg_dc={adapted['avg_dc']} reanchors={adapted['reanchors']} "
+            + " ".join(f"{k}={v}" for k, v in adapted.items() if k.startswith("dom/"))
+        )
+    else:
+        logger.info(f"Evaluating with TTA method '{engine.method}'...")
+        with manager.mesh:
+            adapted = engine.evaluate(manager.state, test_loader)
+        logger.info(f"[adapted] {adapted}")
     results["adapted"] = adapted
-    logger.info(f"[adapted] {adapted}")
 
     out_path = os.path.join(run_dir, "tta_metrics.json")
     with open(out_path, "w", encoding="utf-8") as f:

@@ -118,7 +118,19 @@ class StreamTTAController:
                 self.reanchor(f"domain {self._last_domain} -> {domain}")
         self._last_domain = domain
 
-        self.state, pred = self._ap(self.state, jnp.asarray(image), int(n_valid))
+        image = jnp.asarray(image)
+        mesh = getattr(self.adapter, "mesh", None)
+        if mesh is not None:
+            # mesh-sharded jit needs the batch divisible by the data axis;
+            # pad with zero rows — n_valid masks them out of the objective
+            from ..parallel.mesh import data_axis_size
+
+            mult = data_axis_size(mesh)
+            b = image.shape[0]
+            if b % mult:
+                pad = ((0, mult - b % mult),) + ((0, 0),) * (image.ndim - 1)
+                image = jnp.pad(image, pad)
+        self.state, pred = self._ap(self.state, image, int(n_valid))
         ents = self.adapter._last_ents
         ent_first = float(ents[0])
         ent_final = float(ents[-1])
@@ -146,3 +158,53 @@ class StreamTTAController:
             info["reason"] = f"periodic every {self.period}"
             self.reanchor(info["reason"])
         return pred, info
+
+
+def binary_dice_per_case(pred, label, n_valid: int):
+    """Per-case binary Dice with empty-GT gating (the seg_eval gating rule:
+    cases with empty ground truth don't contribute)."""
+    import numpy as np
+
+    out = []
+    p = np.asarray(pred)[:n_valid].astype(np.float64)
+    y = np.asarray(label)[:n_valid].astype(np.float64)
+    for i in range(n_valid):
+        if y[i].sum() > 0:
+            out.append(2.0 * (p[i] * y[i]).sum() / max(p[i].sum() + y[i].sum(), 1.0))
+    return out
+
+
+def evaluate_stream(controller: StreamTTAController, stream) -> Dict[str, Any]:
+    """Run an ordered (domain, batch) stream through the controller and
+    report Dice overall, per domain, and per stream position — the
+    BASELINE config #5 protocol surface (per-domain schema matching
+    seg_eval's ``dom/<domain>/...`` keys)."""
+    import numpy as np
+
+    per_domain: Dict[str, list] = {}
+    positions = []
+    for pos, (domain, batch) in enumerate(stream):
+        n = int(batch.get("_n_valid", batch["image"].shape[0]))
+        pred, info = controller.step(batch["image"], n, domain=domain)
+        ds = binary_dice_per_case(pred, batch["label"], n)
+        per_domain.setdefault(str(domain), []).extend(ds)
+        positions.append(
+            {
+                "pos": pos,
+                "domain": str(domain),
+                "dice": round(float(np.mean(ds)), 4) if ds else None,
+                "entropy": round(info["entropy_final"], 5),
+                "reanchored": bool(info["reanchored"]),
+            }
+        )
+    alls = [d for v in per_domain.values() for d in v]
+    metrics: Dict[str, Any] = {
+        "avg_dc": round(float(np.mean(alls)), 4) if alls else 0.0,
+        "n_cases": len(alls),
+        "reanchors": controller.n_reanchors,
+        "policy": controller.policy + ("+guard" if controller.guard else ""),
+        "positions": positions,
+    }
+    for dom, v in per_domain.items():
+        metrics[f"dom/{dom}/avg_dc"] = round(float(np.mean(v)), 4) if v else 0.0
+    return metrics

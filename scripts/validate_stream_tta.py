@@ -123,25 +123,12 @@ def stream_batches(manager):
             yield center, batch
 
 
-def dice_of(pred, label, n) -> list:
-    import numpy as np
-
-    out = []
-    p = np.asarray(pred)[:n].astype(np.float64)
-    y = np.asarray(label)[:n].astype(np.float64)
-    for i in range(n):
-        if y[i].sum() > 0:
-            out.append(2.0 * (p[i] * y[i]).sum() / max(p[i].sum() + y[i].sum(), 1.0))
-    return out
-
-
 def run_policy(manager, cfg, device_transform, *, policy, guard, steps, lr,
                threshold=0.3, floor_ratio=0.2):
     """One pass over the ordered stream under one controller config."""
-    import numpy as np
-
     from multimodal_tta_tpu.conf import ConfigNode
     from multimodal_tta_tpu.tta import StreamTTAController, TentAdapter
+    from multimodal_tta_tpu.tta.stream import evaluate_stream
 
     tta_cfg = ConfigNode(
         {"method": "tent", "steps": steps, "lr": lr, "optimizer": "sgd",
@@ -154,30 +141,9 @@ def run_policy(manager, cfg, device_transform, *, policy, guard, steps, lr,
         adapter, manager.state, threshold=threshold, policy=policy,
         guard=guard, entropy_floor_ratio=floor_ratio, predict_mode="inline",
     )
-    per_domain = {}
-    positions = []
     with manager.mesh:
-        for pos, (domain, batch) in enumerate(stream_batches(manager)):
-            n = int(batch.get("_n_valid", batch["image"].shape[0]))
-            pred, info = ctrl.step(batch["image"], n, domain=domain)
-            ds = dice_of(pred, batch["label"], n)
-            per_domain.setdefault(domain, []).extend(ds)
-            positions.append(
-                {"pos": pos, "domain": domain,
-                 "dice": round(float(np.mean(ds)), 4) if ds else None,
-                 "entropy": round(info["entropy_final"], 5),
-                 "reanchored": info["reanchored"]}
-            )
-    row = {
-        "policy": policy + ("+guard" if guard else ""),
-        "steps": steps,
-        "lr": lr,
-        "avg_dc": round(float(np.mean([d for v in per_domain.values() for d in v])), 4),
-        "reanchors": ctrl.n_reanchors,
-        "positions": positions,
-    }
-    for dom, v in per_domain.items():
-        row[f"dom/{dom}/avg_dc"] = round(float(np.mean(v)), 4)
+        row = evaluate_stream(ctrl, stream_batches(manager))
+    row.update({"steps": steps, "lr": lr})
     return row
 
 
@@ -186,6 +152,7 @@ def run_no_adapt(manager, cfg, device_transform, threshold=0.3):
     import jax
 
     from multimodal_tta_tpu.ops.intensity import make_intensity_normalizer
+    from multimodal_tta_tpu.tta.stream import binary_dice_per_case
     import jax.numpy as jnp
 
     norm_fn = None
@@ -216,7 +183,7 @@ def run_no_adapt(manager, cfg, device_transform, threshold=0.3):
         for domain, batch in stream_batches(manager):
             n = int(batch.get("_n_valid", batch["image"].shape[0]))
             pred = predict(state.params, state.batch_stats, jnp.asarray(batch["image"]))
-            per_domain.setdefault(domain, []).extend(dice_of(pred, batch["label"], n))
+            per_domain.setdefault(domain, []).extend(binary_dice_per_case(pred, batch["label"], n))
     row = {"policy": "no_adapt",
            "avg_dc": round(float(np.mean([d for v in per_domain.values() for d in v])), 4)}
     for dom, v in per_domain.items():

@@ -105,3 +105,33 @@ class TestSweepCLI:
         assert set(summary["centers"].keys()) == {"CHUS", "CHUM"}
         assert summary["total_cases"] == 6
         assert summary["cases_per_second"] > 0
+
+
+class TestStreamAdaptCLI:
+    def test_streaming_tta_run(self, fixture_env):
+        """adapt.py with tta.stream.enabled runs the ordered-domain
+        streaming protocol (BASELINE config #5) through the CLI: per-domain
+        Dice keys, positions trace, reanchor count."""
+        proc = run_cli(
+            "adapt.py",
+            common_overrides(fixture_env, "cli_stream")
+            + [
+                "tta=tent",
+                "tta.steps=1",
+                "tta.episodic=false",
+                "tta.stream.enabled=true",
+                "tta.stream.policy=reset_on_domain_change",
+                "tta.stream.guard=true",
+                "tta.stream.domain_order=[CHUS,CHUM]",
+            ],
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        base = os.path.join(fixture_env["root"], "outputs", "cli_stream")
+        run_dir = os.path.join(base, sorted(os.listdir(base))[-1])
+        with open(os.path.join(run_dir, "tta_metrics.json")) as f:
+            metrics = json.load(f)
+        adapted = metrics["adapted"]
+        assert adapted["policy"] == "reset_on_domain_change+guard"
+        assert "dom/CHUS/avg_dc" in adapted and "dom/CHUM/avg_dc" in adapted
+        assert adapted["positions"] and adapted["positions"][0]["domain"] == "CHUS"
+        assert adapted["reanchors"] >= 1  # the CHUS -> CHUM boundary
