@@ -56,6 +56,11 @@ class DenseNet(nn.Module):
     variant: str = "densenet121"
     num_classes: int = 1000
     dtype: Any = jnp.float32
+    # explicit topology overrides (default: looked up from _SPECS by variant;
+    # settable so tests can build tiny torch-naming-compatible configs)
+    growth_rate: Any = None
+    block_config: Any = None
+    init_features: Any = None
 
     @classmethod
     def from_config(cls, cfg, **overrides):
@@ -70,6 +75,9 @@ class DenseNet(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         growth, blocks, init_feat = _SPECS[self.variant]
+        growth = self.growth_rate if self.growth_rate is not None else growth
+        blocks = tuple(self.block_config) if self.block_config is not None else blocks
+        init_feat = self.init_features if self.init_features is not None else init_feat
         x = x.astype(self.dtype)
         x = nn.Conv(init_feat, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], use_bias=False, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)

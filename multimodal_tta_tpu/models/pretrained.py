@@ -105,8 +105,59 @@ def port_torch_resnet(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
+def port_torch_densenet(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """torchvision-DenseNet state_dict -> flax variables for
+    models.densenet.DenseNet.
+
+    Name contract (torchvision): ``features.conv0``/``norm0`` stem,
+    ``features.denseblock{B}.denselayer{L}.{norm1,conv1,norm2,conv2}``,
+    ``features.transition{T}.{norm,conv}``, ``features.norm5`` final BN,
+    ``classifier`` head. Flax side: ``Conv_0``/``BatchNorm_0`` stem,
+    ``block{B-1}_layer{L-1}/{BatchNorm_0,Conv_0,BatchNorm_1,Conv_1}``,
+    ``transition{T-1}/{BatchNorm_0,Conv_0}``, ``final_bn``, ``classifier``.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def bn(dst_path, src_prefix):
+        _set(params, dst_path + ("scale",), _as_numpy(state_dict[src_prefix + ".weight"]))
+        _set(params, dst_path + ("bias",), _as_numpy(state_dict[src_prefix + ".bias"]))
+        _set(stats, dst_path + ("mean",), _as_numpy(state_dict[src_prefix + ".running_mean"]))
+        _set(stats, dst_path + ("var",), _as_numpy(state_dict[src_prefix + ".running_var"]))
+
+    def conv(dst_path, src_key):
+        _set(params, dst_path + ("kernel",), _as_numpy(state_dict[src_key]).transpose(2, 3, 1, 0))
+
+    conv(("Conv_0",), "features.conv0.weight")
+    bn(("BatchNorm_0",), "features.norm0")
+
+    layer_re = re.compile(r"^features\.denseblock(\d+)\.denselayer(\d+)\.")
+    for B, L in sorted({(int(m.group(1)), int(m.group(2)))
+                        for k in state_dict if (m := layer_re.match(k))}):
+        t_pref = f"features.denseblock{B}.denselayer{L}"
+        f_block = f"block{B - 1}_layer{L - 1}"
+        bn((f_block, "BatchNorm_0"), f"{t_pref}.norm1")
+        conv((f_block, "Conv_0"), f"{t_pref}.conv1.weight")
+        bn((f_block, "BatchNorm_1"), f"{t_pref}.norm2")
+        conv((f_block, "Conv_1"), f"{t_pref}.conv2.weight")
+
+    trans_re = re.compile(r"^features\.transition(\d+)\.")
+    for T in sorted({int(m.group(1)) for k in state_dict if (m := trans_re.match(k))}):
+        bn((f"transition{T - 1}", "BatchNorm_0"), f"features.transition{T}.norm")
+        conv((f"transition{T - 1}", "Conv_0"), f"features.transition{T}.conv.weight")
+
+    if "features.norm5.weight" in state_dict:
+        bn(("final_bn",), "features.norm5")
+    if "classifier.weight" in state_dict:
+        _set(params, ("classifier", "kernel"), _as_numpy(state_dict["classifier.weight"]).transpose(1, 0))
+        _set(params, ("classifier", "bias"), _as_numpy(state_dict["classifier.bias"]))
+
+    return {"params": params, "batch_stats": stats}
+
+
 _PORTERS = {
     "resnet": port_torch_resnet,
+    "densenet": port_torch_densenet,
 }
 
 

@@ -62,6 +62,12 @@ class StreamTTAController:
                 "adapter with episodic=false and choose policy='episodic' "
                 "here instead"
             )
+        if not hasattr(adapter, "make_adapt_predict_fn"):
+            raise ValueError(
+                f"[stream] adapter {type(adapter).__name__} has no fused "
+                f"adapt+predict serving path (make_adapt_predict_fn) — the "
+                f"streaming protocol requires it (tta method 'tent')"
+            )
         self.adapter = adapter
         self.policy = str(policy)
         self.guard = bool(guard)
@@ -100,7 +106,8 @@ class StreamTTAController:
         momentum (a re-anchor that keeps stale momentum immediately walks
         back toward the state it just abandoned)."""
         self.state = self._source_state
-        self.adapter.reset_optimizer()
+        if hasattr(self.adapter, "reset_optimizer"):
+            self.adapter.reset_optimizer()
         self.n_reanchors += 1
         self.reanchor_log.append((self._n_batches, reason))
         self.logger.info(f"[stream] re-anchored to source at batch {self._n_batches} ({reason})")

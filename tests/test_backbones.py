@@ -337,3 +337,97 @@ class TestPretrainedPort:
         mgr = ExperimentManager(cfg)
         with pytest.raises(ValueError, match="pretrained_source"):
             mgr.setup_model()
+
+    @staticmethod
+    def _torch_densenet(growth=8, blocks=(2, 2), init_feat=16, num_classes=5):
+        from collections import OrderedDict
+
+        import torch
+        import torch.nn as tnn
+
+        class Layer(tnn.Module):
+            def __init__(self, cin, g):
+                super().__init__()
+                self.norm1 = tnn.BatchNorm2d(cin)
+                self.conv1 = tnn.Conv2d(cin, 4 * g, 1, bias=False)
+                self.norm2 = tnn.BatchNorm2d(4 * g)
+                self.conv2 = tnn.Conv2d(4 * g, g, 3, padding=1, bias=False)
+
+            def forward(self, x):
+                y = self.conv1(torch.relu(self.norm1(x)))
+                y = self.conv2(torch.relu(self.norm2(y)))
+                return torch.cat([x, y], dim=1)
+
+        class Transition(tnn.Module):
+            def __init__(self, cin, cout):
+                super().__init__()
+                self.norm = tnn.BatchNorm2d(cin)
+                self.conv = tnn.Conv2d(cin, cout, 1, bias=False)
+                self.pool = tnn.AvgPool2d(2, 2)
+
+            def forward(self, x):
+                return self.pool(self.conv(torch.relu(self.norm(x))))
+
+        feats = OrderedDict()
+        feats["conv0"] = tnn.Conv2d(3, init_feat, 7, 2, 3, bias=False)
+        feats["norm0"] = tnn.BatchNorm2d(init_feat)
+        feats["relu0"] = tnn.ReLU()
+        feats["pool0"] = tnn.MaxPool2d(3, 2, 1)
+        c = init_feat
+        for bi, n in enumerate(blocks):
+            block = tnn.Sequential(
+                OrderedDict(
+                    (f"denselayer{li + 1}", Layer(c + li * growth, growth)) for li in range(n)
+                )
+            )
+            feats[f"denseblock{bi + 1}"] = block
+            c += n * growth
+            if bi != len(blocks) - 1:
+                feats[f"transition{bi + 1}"] = Transition(c, c // 2)
+                c //= 2
+        feats["norm5"] = tnn.BatchNorm2d(c)
+
+        class Net(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.features = tnn.Sequential(feats)
+                self.classifier = tnn.Linear(c, num_classes)
+
+            def forward(self, x):
+                y = torch.relu(self.features(x))
+                return self.classifier(y.mean(dim=(2, 3)))
+
+        return Net()
+
+    def test_densenet_port_forward_parity(self, tmp_path):
+        import torch
+
+        from multimodal_tta_tpu.models.densenet import DenseNet
+        from multimodal_tta_tpu.models.pretrained import (
+            apply_pretrained,
+            port_pretrained_variables,
+        )
+
+        torch.manual_seed(1)
+        tnet = self._torch_densenet()
+        tnet.train()
+        with torch.no_grad():
+            for _ in range(3):
+                tnet(torch.randn(4, 3, 32, 32))
+        tnet.eval()
+        x = torch.randn(2, 3, 32, 32)
+        with torch.no_grad():
+            want = tnet(x).numpy()
+
+        p = tmp_path / "densenet.pt"
+        torch.save(tnet.state_dict(), p)
+
+        model = DenseNet(
+            variant="densenet121", num_classes=5,
+            growth_rate=8, block_config=(2, 2), init_features=16,
+        )
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=True)
+        ported = port_pretrained_variables("densenet121", str(p))
+        variables = apply_pretrained(jax.device_get(variables), ported, "densenet121")
+        _, logits = model.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), train=False)
+        np.testing.assert_allclose(np.asarray(logits), want, rtol=1e-4, atol=1e-4)
