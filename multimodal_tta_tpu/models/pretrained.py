@@ -155,9 +155,80 @@ def port_torch_densenet(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
+def port_torch_vit(state_dict: Dict[str, Any], heads: int = None) -> Dict[str, Any]:
+    """torchvision-VisionTransformer state_dict -> flax variables for
+    models.vit.ViT.
+
+    Name contract (torchvision): ``conv_proj``, ``class_token``,
+    ``encoder.pos_embedding``, ``encoder.layers.encoder_layer_{i}.{ln_1,
+    self_attention(in_proj/out_proj),ln_2,mlp.{0,3} or .linear_{1,2}}``,
+    ``encoder.ln``, ``heads.head``. The fused in_proj [3H,H] splits into
+    flax's per-projection [H, heads, head_dim] kernels. Forward-parity also
+    depends on exact (erf) GELU and LayerNorm eps 1e-6, which models/vit.py
+    matches.
+    """
+    params: Dict[str, Any] = {}
+
+    def ln(dst_path, src_prefix):
+        _set(params, dst_path + ("scale",), _as_numpy(state_dict[src_prefix + ".weight"]))
+        _set(params, dst_path + ("bias",), _as_numpy(state_dict[src_prefix + ".bias"]))
+
+    def dense(dst_path, src_prefix):
+        _set(params, dst_path + ("kernel",), _as_numpy(state_dict[src_prefix + ".weight"]).transpose(1, 0))
+        _set(params, dst_path + ("bias",), _as_numpy(state_dict[src_prefix + ".bias"]))
+
+    _set(params, ("patch_embed", "kernel"), _as_numpy(state_dict["conv_proj.weight"]).transpose(2, 3, 1, 0))
+    _set(params, ("patch_embed", "bias"), _as_numpy(state_dict["conv_proj.bias"]))
+    _set(params, ("cls_token",), _as_numpy(state_dict["class_token"]))
+    _set(params, ("pos_embed",), _as_numpy(state_dict["encoder.pos_embedding"]))
+
+    layer_re = re.compile(r"^encoder\.layers\.encoder_layer_(\d+)\.")
+    n_heads = heads
+    for i in sorted({int(m.group(1)) for k in state_dict if (m := layer_re.match(k))}):
+        t = f"encoder.layers.encoder_layer_{i}"
+        f = f"block{i}"
+        ln((f, "LayerNorm_0"), f"{t}.ln_1")
+        ln((f, "LayerNorm_1"), f"{t}.ln_2")
+
+        w_in = _as_numpy(state_dict[f"{t}.self_attention.in_proj_weight"])  # [3H, H]
+        b_in = _as_numpy(state_dict[f"{t}.self_attention.in_proj_bias"])  # [3H]
+        hid = w_in.shape[1]
+        if n_heads is None:
+            # the state_dict stores no head count; 64-dim heads is the
+            # torchvision default for b/l variants (pass heads= for others)
+            n_heads = max(1, hid // 64)
+        hd = hid // n_heads
+        for j, name in enumerate(("query", "key", "value")):
+            w = w_in[j * hid : (j + 1) * hid]  # [H, H], out x in
+            b = b_in[j * hid : (j + 1) * hid]
+            _set(params, (f, "MultiHeadDotProductAttention_0", name, "kernel"),
+                 w.transpose(1, 0).reshape(hid, n_heads, hd))
+            _set(params, (f, "MultiHeadDotProductAttention_0", name, "bias"),
+                 b.reshape(n_heads, hd))
+        w_out = _as_numpy(state_dict[f"{t}.self_attention.out_proj.weight"])  # [H, H]
+        b_out = _as_numpy(state_dict[f"{t}.self_attention.out_proj.bias"])
+        _set(params, (f, "MultiHeadDotProductAttention_0", "out", "kernel"),
+             w_out.transpose(1, 0).reshape(n_heads, hd, hid))
+        _set(params, (f, "MultiHeadDotProductAttention_0", "out", "bias"), b_out)
+
+        # torchvision MLPBlock keys shifted across versions: mlp.0/mlp.3
+        # (Sequential) vs mlp.linear_1/linear_2
+        first = f"{t}.mlp.0" if f"{t}.mlp.0.weight" in state_dict else f"{t}.mlp.linear_1"
+        second = f"{t}.mlp.3" if f"{t}.mlp.3.weight" in state_dict else f"{t}.mlp.linear_2"
+        dense((f, "Dense_0"), first)
+        dense((f, "Dense_1"), second)
+
+    ln(("final_ln",), "encoder.ln")
+    if "heads.head.weight" in state_dict:
+        dense(("head",), "heads.head")
+
+    return {"params": params}
+
+
 _PORTERS = {
     "resnet": port_torch_resnet,
     "densenet": port_torch_densenet,
+    "vit": port_torch_vit,
 }
 
 
@@ -180,7 +251,13 @@ def port_pretrained_variables(model_name: str, source_path: str) -> Dict[str, An
             f"Refusing to continue with random weights while the config "
             f"requests pretrained ones."
         )
-    return porter(load_torch_state_dict(source_path))
+    sd = load_torch_state_dict(source_path)
+    if fam == "vit":
+        from .vit import _SPECS as VIT_SPECS
+
+        heads = VIT_SPECS[model_name][3] if model_name in VIT_SPECS else None
+        return port_torch_vit(sd, heads=heads)
+    return porter(sd)
 
 
 def apply_pretrained(variables: Dict[str, Any], ported: Dict[str, Any], model_name: str):

@@ -88,7 +88,9 @@ class EncoderBlock(nn.Module):
         x = x + y
         y = nn.LayerNorm(dtype=self.dtype)(x)
         y = nn.Dense(self.mlp_dim, dtype=self.dtype)(y)
-        y = nn.gelu(y)
+        # exact (erf) GELU — torchvision's default; the tanh approximation
+        # would break ported-weight forward parity at the 1e-3 level
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.hidden, dtype=self.dtype)(y)
         return x + y
 
@@ -100,6 +102,13 @@ class ViT(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
     seq_shard_axis: Optional[str] = None  # mesh axis for sequence parallelism
+    # explicit topology overrides (default: from _SPECS by variant; settable
+    # so tests can build tiny torchvision-naming-compatible configs)
+    patch: Optional[int] = None
+    hidden: Optional[int] = None
+    depth: Optional[int] = None
+    heads: Optional[int] = None
+    mlp_dim: Optional[int] = None
 
     @classmethod
     def from_config(cls, cfg, **overrides):
@@ -117,6 +126,11 @@ class ViT(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         patch, hidden, depth, heads, mlp_dim = _SPECS[self.variant]
+        patch = self.patch if self.patch is not None else patch
+        hidden = self.hidden if self.hidden is not None else hidden
+        depth = self.depth if self.depth is not None else depth
+        heads = self.heads if self.heads is not None else heads
+        mlp_dim = self.mlp_dim if self.mlp_dim is not None else mlp_dim
         b, h, w, c = x.shape
         if h % patch or w % patch:
             raise ValueError(f"ViT input {h}x{w} not divisible by patch {patch}")

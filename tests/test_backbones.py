@@ -431,3 +431,88 @@ class TestPretrainedPort:
         variables = apply_pretrained(jax.device_get(variables), ported, "densenet121")
         _, logits = model.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), train=False)
         np.testing.assert_allclose(np.asarray(logits), want, rtol=1e-4, atol=1e-4)
+
+    @staticmethod
+    def _torch_vit(patch=8, hidden=64, depth=2, heads=4, mlp=128, img=32, num_classes=5):
+        from collections import OrderedDict
+
+        import torch
+        import torch.nn as tnn
+
+        class EncLayer(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.ln_1 = tnn.LayerNorm(hidden, eps=1e-6)
+                self.self_attention = tnn.MultiheadAttention(hidden, heads, batch_first=True)
+                self.ln_2 = tnn.LayerNorm(hidden, eps=1e-6)
+                self.mlp = tnn.Sequential(
+                    tnn.Linear(hidden, mlp), tnn.GELU(), tnn.Dropout(0.0),
+                    tnn.Linear(mlp, hidden), tnn.Dropout(0.0),
+                )
+
+            def forward(self, x):
+                y = self.ln_1(x)
+                y, _ = self.self_attention(y, y, y, need_weights=False)
+                x = x + y
+                return x + self.mlp(self.ln_2(x))
+
+        n_tokens = (img // patch) ** 2 + 1
+
+        class Encoder(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.pos_embedding = tnn.Parameter(torch.randn(1, n_tokens, hidden) * 0.02)
+                self.layers = tnn.Sequential(
+                    OrderedDict((f"encoder_layer_{i}", EncLayer()) for i in range(depth))
+                )
+                self.ln = tnn.LayerNorm(hidden, eps=1e-6)
+
+            def forward(self, x):
+                return self.ln(self.layers(x + self.pos_embedding))
+
+        class Net(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv_proj = tnn.Conv2d(3, hidden, patch, patch)
+                self.class_token = tnn.Parameter(torch.zeros(1, 1, hidden))
+                self.encoder = Encoder()
+                self.heads = tnn.Sequential(
+                    OrderedDict([("head", tnn.Linear(hidden, num_classes))])
+                )
+
+            def forward(self, x):
+                b = x.shape[0]
+                x = self.conv_proj(x).flatten(2).transpose(1, 2)  # [B,N,H]
+                x = torch.cat([self.class_token.expand(b, -1, -1), x], dim=1)
+                x = self.encoder(x)
+                return self.heads(x[:, 0])
+
+        return Net()
+
+    def test_vit_port_forward_parity(self, tmp_path):
+        import torch
+
+        from multimodal_tta_tpu.models.pretrained import (
+            apply_pretrained,
+            port_torch_vit,
+        )
+        from multimodal_tta_tpu.models.vit import ViT
+
+        torch.manual_seed(2)
+        tnet = self._torch_vit()
+        tnet.eval()
+        x = torch.randn(2, 3, 32, 32)
+        with torch.no_grad():
+            want = tnet(x).numpy()
+
+        model = ViT(
+            variant="vit_b_16", num_classes=5, image_size=32,
+            patch=8, hidden=64, depth=2, heads=4, mlp_dim=128,
+        )
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+        ported = port_torch_vit(
+            {k: v for k, v in tnet.state_dict().items()}, heads=4
+        )
+        variables = apply_pretrained(jax.device_get(variables), ported, "vit_mini")
+        _, logits = model.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), train=False)
+        np.testing.assert_allclose(np.asarray(logits), want, rtol=1e-4, atol=1e-4)
