@@ -12,6 +12,14 @@ is a HARD error: silently ignoring the flag was round-2 weak #6, and a model
 the user believes is ImageNet-initialized but is actually random is the worst
 possible failure mode.
 
+Ported families: resnet, densenet, vit (each forward-parity-tested against
+torch 2.13 in tests/test_backbones.py). efficientnet deliberately has NO
+porter: torchvision's EfficientNet differs structurally from this
+implementation (symmetric (k-1)//2 paddings on stride-2 convs vs XLA SAME,
+single-conv FusedMBConv at expand=1 vs conv+project, BN eps 1e-3) — a
+name-mapped port would load without error and predict garbage; requesting
+pretrained efficientnet weights raises instead.
+
 Torch convs are OIHW and Linear weights are [out, in]; flax is HWIO /
 [in, out] — the porter transposes, maps BatchNorm running stats into the
 ``batch_stats`` collection, and validates the result leaf-for-leaf against
