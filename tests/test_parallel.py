@@ -136,3 +136,63 @@ class TestPrefetch:
         batches = [{"image": np.zeros((3, 2), np.float32)}]
         out = list(prefetch_to_device(iter(batches), None))
         assert out[0]["_n_valid"] == 3
+
+
+class TestConstrainHelpers:
+    def test_ambient_axes_sources(self):
+        from multimodal_tta_tpu.parallel.mesh import ambient_axes
+
+        assert "data" not in ambient_axes()
+        mesh = make_mesh(data=4, space=2)
+        with mesh:
+            ax = ambient_axes()
+            assert ax["data"] == (4, True) and ax["space"] == (2, True)
+        with jax.set_mesh(make_mesh(data=2, space=4)):
+            ax = ambient_axes()
+            assert ax["data"][0] == 2 and ax["space"][0] == 4
+
+    def test_constrain_noop_off_mesh_and_on_indivisible(self):
+        import jax.numpy as jnp
+
+        from multimodal_tta_tpu.parallel.mesh import constrain
+
+        x = jnp.zeros((6, 4))
+        # no mesh context: identity (same object)
+        assert constrain(x, P("data")) is x
+        mesh = make_mesh(data=4, space=2)
+        with mesh:
+            # 6 % 4 != 0 in a strict (legacy) context: no-op, not an error
+            assert constrain(x, P("data")) is x
+            y = jnp.zeros((8, 4))
+            out = jax.jit(lambda a: constrain(a, P("data")))(y)
+            assert out.shape == y.shape
+
+    def test_constrain_activations_depth_rule(self):
+        """(data, space) only while each space shard keeps >=2 depth planes;
+        data-only below (the deep-pyramid involuntary-remat guard)."""
+        import jax.numpy as jnp
+
+        from multimodal_tta_tpu.parallel.mesh import constrain_activations
+
+        mesh = make_mesh(data=4, space=2)
+
+        def shard_str(x):
+            return str(jax.jit(constrain_activations).lower(x).compile().output_shardings.spec)
+
+        with mesh:
+            deep = jnp.zeros((8, 1, 1, 1, 64))  # depth collapsed
+            spec_deep = shard_str(deep)
+            assert "space" not in spec_deep and "data" in spec_deep
+            shallow = jnp.zeros((8, 4, 4, 4, 8))  # 4/2 = 2 planes per shard
+            spec_shallow = shard_str(shallow)
+            assert "space" in spec_shallow and "data" in spec_shallow
+            boundary = jnp.zeros((8, 2, 2, 2, 16))  # 2/2 = 1 plane: data only
+            assert "space" not in shard_str(boundary)
+
+    def test_constrain_activations_no_mesh_identity(self):
+        import jax.numpy as jnp
+
+        from multimodal_tta_tpu.parallel.mesh import constrain_activations
+
+        x = jnp.zeros((4, 8, 8, 8, 2))
+        assert constrain_activations(x) is x
