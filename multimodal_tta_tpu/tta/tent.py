@@ -152,6 +152,16 @@ class TentAdapter:
         if self.predict_mode not in ("post", "inline"):
             raise ValueError(f"[tent] unknown predict mode: {self.predict_mode}")
 
+        # in-scan early stop: freeze the inner adaptation once the step
+        # entropy falls below ratio * (this batch's first-step entropy).
+        # The between-batch stream watchdog (tta/stream.py) can only react
+        # AFTER a batch; at aggressive steps×lr the collapse happens inside
+        # one batch's scan (measured: steps=16 lr=0.1 drives Dice 0.66→0.16
+        # on the two-shift stream), so the brake must live inside the jit.
+        es = get_config(self.cfg, "early_stop", ConfigNode())
+        self.early_stop = bool(get_config(es, "enabled", False))
+        self.early_stop_ratio = float(get_config(es, "entropy_floor_ratio", 0.3))
+
         # entropy focus: "all" = plain volume-mean Tent objective;
         # "uncertain" = self-normalized entropy (voxels weighted by their own
         # stop-gradient entropy) — in dense 3D segmentation the volume mean
@@ -335,6 +345,8 @@ class TentAdapter:
         window_enabled = self.window_enabled
         window_roi = self.window_roi
         windows_per_step = self.windows_per_step
+        early_stop = self.early_stop
+        early_stop_ratio = self.early_stop_ratio
 
         episodic = self.episodic
 
@@ -453,14 +465,33 @@ class TentAdapter:
                 trainable = optax.apply_updates(trainable, updates)
                 return trainable, new_bs, opt_state, ent, logits
 
+            def gated(active, e0, ent, new, old):
+                """Apply `new` over `old` only while adaptation is live AND
+                the just-measured entropy sits above the floor; returns the
+                merged tree and the next active flag. The frozen tail of the
+                scan still computes (scan length is static) but cannot move
+                the state — the entropy trace then reports the frozen
+                params' entropy, flat by construction."""
+                still = active & (ent >= early_stop_ratio * e0)
+                merged = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(still, a, b), new, old
+                )
+                return merged, still
+
             def one_step(carry, key):
-                trainable, bs, opt_state = carry
-                trainable, bs, opt_state, ent, _ = grad_step(
+                trainable, bs, opt_state, e0, active = carry
+                new_t, new_bs, new_opt, ent, _ = grad_step(
                     trainable, bs, opt_state, key, md_enabled
                 )
-                return (trainable, bs, opt_state), ent
+                if early_stop:
+                    e0 = jnp.where(jnp.isnan(e0), ent, e0)
+                    (new_t, new_bs, new_opt), active = gated(
+                        active, e0, ent, (new_t, new_bs, new_opt), (trainable, bs, opt_state)
+                    )
+                return (new_t, new_bs, new_opt, e0, active), ent
 
             keys = jax.random.split(rng, steps)
+            carry0 = (trainable0, batch_stats, opt_state, jnp.float32(jnp.nan), jnp.bool_(True))
             inline = predict_threshold is not None and predict_mode == "inline"
             if inline:
                 # official online-Tent protocol: the LAST adaptation step runs
@@ -469,19 +500,26 @@ class TentAdapter:
                 # forward must see the CLEAN batch — served predictions may
                 # never be computed on dropout-corrupted inputs — so modality
                 # dropout applies only to the preceding steps.
-                (trainable, batch_stats, opt_state), ents_head = jax.lax.scan(
-                    one_step, (trainable0, batch_stats, opt_state), keys[:-1]
+                (trainable, batch_stats, opt_state, e0, active), ents_head = jax.lax.scan(
+                    one_step, carry0, keys[:-1]
                 )
-                trainable, batch_stats, opt_state, ent, logits = grad_step(
+                new_t, new_bs, new_opt, ent, logits = grad_step(
                     trainable, batch_stats, opt_state, keys[-1], dropout=False
                 )
+                if early_stop:
+                    e0 = jnp.where(jnp.isnan(e0), ent, e0)
+                    (new_t, new_bs, new_opt), _ = gated(
+                        active, e0, ent, (new_t, new_bs, new_opt),
+                        (trainable, batch_stats, opt_state),
+                    )
+                trainable, batch_stats, opt_state = new_t, new_bs, new_opt
                 ents = jnp.concatenate([ents_head, ent[None]])
                 params = combine(trainable, frozen)
                 pred = predict(logits)
                 return params, batch_stats, opt_state, ents, pred
 
-            (trainable, batch_stats, opt_state), ents = jax.lax.scan(
-                one_step, (trainable0, batch_stats, opt_state), keys
+            (trainable, batch_stats, opt_state, _, _), ents = jax.lax.scan(
+                one_step, carry0, keys
             )
             params = combine(trainable, frozen)
             if predict_threshold is not None:

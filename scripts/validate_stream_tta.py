@@ -124,17 +124,18 @@ def stream_batches(manager):
 
 
 def run_policy(manager, cfg, device_transform, *, policy, guard, steps, lr,
-               threshold=0.3, floor_ratio=0.2):
+               threshold=0.3, floor_ratio=0.2, early_stop_ratio=None):
     """One pass over the ordered stream under one controller config."""
     from multimodal_tta_tpu.conf import ConfigNode
     from multimodal_tta_tpu.tta import StreamTTAController, TentAdapter
     from multimodal_tta_tpu.tta.stream import evaluate_stream
 
-    tta_cfg = ConfigNode(
-        {"method": "tent", "steps": steps, "lr": lr, "optimizer": "sgd",
-         "momentum": 0.9, "update": "norm", "episodic": False,
-         "entropy_focus": "uncertain"}
-    )
+    node = {"method": "tent", "steps": steps, "lr": lr, "optimizer": "sgd",
+            "momentum": 0.9, "update": "norm", "episodic": False,
+            "entropy_focus": "uncertain"}
+    if early_stop_ratio is not None:
+        node["early_stop"] = {"enabled": True, "entropy_floor_ratio": early_stop_ratio}
+    tta_cfg = ConfigNode(node)
     adapter = TentAdapter(tta_cfg, config=cfg, mesh=manager.mesh,
                           device_transform=device_transform)
     ctrl = StreamTTAController(
@@ -144,6 +145,11 @@ def run_policy(manager, cfg, device_transform, *, policy, guard, steps, lr,
     with manager.mesh:
         row = evaluate_stream(ctrl, stream_batches(manager))
     row.update({"steps": steps, "lr": lr})
+    if guard:
+        row["floor"] = floor_ratio
+    if early_stop_ratio is not None:
+        row["policy"] += "+early_stop"
+        row["early_stop"] = early_stop_ratio
     return row
 
 
@@ -235,10 +241,22 @@ def main() -> None:
     cl = dict(steps=args.collapse_steps, lr=args.collapse_lr)
     emit(run_policy(manager, cfg, device_transform, policy="continual", guard=False, **cl))
     emit(run_policy(manager, cfg, device_transform, policy="continual", guard=True, **cl))
+    # tighter watchdog: the default 0.2 floor fires only after substantial
+    # damage at this regime (16 inner steps over-adapt within single
+    # batches); 0.5 re-anchors at the first sign
+    emit(run_policy(manager, cfg, device_transform, policy="continual", guard=True,
+                    floor_ratio=0.5, **cl))
+    # in-batch brake: tta.early_stop freezes the inner scan at the entropy
+    # floor — acts WITHIN the 16-step scan where the watchdog cannot
+    emit(run_policy(manager, cfg, device_transform, policy="continual", guard=False,
+                    early_stop_ratio=0.3, **cl))
+    emit(run_policy(manager, cfg, device_transform, policy="continual", guard=True,
+                    floor_ratio=0.5, early_stop_ratio=0.3, **cl))
 
     no_adapt = rows[0]["avg_dc"]
-    collapse = rows[-2]["avg_dc"]
-    guarded = rows[-1]["avg_dc"]
+    cl_rows = [r for r in rows if r.get("steps") == args.collapse_steps]
+    collapse = cl_rows[0]["avg_dc"]
+    guarded = max(r["avg_dc"] for r in cl_rows[1:])
     verdict = {
         "no_adapt": no_adapt,
         "best_policy": max(rows[1:5], key=lambda r: r["avg_dc"])["policy"],

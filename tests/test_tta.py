@@ -598,3 +598,41 @@ class TestSoftmaxPredict:
                 logits = state.apply_fn({"params": state.params}, x, train=False)
                 expect = np.argmax(np.asarray(logits), axis=-1)[..., None]
                 assert np.array_equal(p, expect)
+
+
+class TestEarlyStop:
+    """In-scan entropy early stop (tta.early_stop): the inner adaptation
+    freezes once the step entropy dips below ratio * first-step entropy —
+    the in-batch half of the over-adaptation collapse defense (the stream
+    watchdog is the between-batch half)."""
+
+    def _run(self, early_stop, steps=24, lr=2.0, ratio=0.5):
+        state = make_state()
+        tta = tent_cfg(steps=steps, lr=lr, momentum=0.0)
+        if early_stop:
+            tta["early_stop"] = {"enabled": True, "entropy_floor_ratio": ratio}
+        cfg = full_cfg(tta=tta)
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+        adapt_fn = adapter.make_adapt_fn(state)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 16, 2), jnp.float32)
+        adapt_fn(state, x, 2)
+        return np.asarray(adapter._last_ents)
+
+    def test_freezes_at_floor_and_trace_flattens(self):
+        ents = self._run(early_stop=True)
+        e0 = ents[0]
+        below = np.where(ents < 0.5 * e0)[0]
+        assert below.size > 0, "regime not aggressive enough to trigger the stop"
+        k = below[0]
+        # frozen tail: entropy is evaluated at unchanged params => constant
+        np.testing.assert_allclose(ents[k:], ents[k], rtol=1e-6)
+
+    def test_unguarded_minimizes_further(self):
+        guarded = self._run(early_stop=True)
+        free = self._run(early_stop=False)
+        assert free[-1] < guarded[-1], (free[-1], guarded[-1])
+
+    def test_gentle_regime_unaffected(self):
+        guarded = self._run(early_stop=True, steps=2, lr=1e-3)
+        free = self._run(early_stop=False, steps=2, lr=1e-3)
+        np.testing.assert_allclose(guarded, free, rtol=1e-6)
