@@ -137,7 +137,15 @@ class StreamTTAController:
             if b % mult:
                 pad = ((0, mult - b % mult),) + ((0, 0),) * (image.ndim - 1)
                 image = jnp.pad(image, pad)
-        self.state, pred = self._ap(self.state, image, int(n_valid))
+        # anchor the adapter's in-scan early-stop floor at the STREAM's
+        # first pre-adaptation entropy: in continual mode each batch's own
+        # first-step entropy is already collapsed, so the adapter's
+        # batch-relative fallback anchor never fires on a drifting stream
+        # (measured — the absolute anchor is what rescues the collapse)
+        floor = None
+        if getattr(self.adapter, "early_stop", False) and self._e0 is not None:
+            floor = float(self.adapter.early_stop_ratio) * self._e0
+        self.state, pred = self._ap(self.state, image, int(n_valid), ent_floor=floor)
         ents = self.adapter._last_ents
         ent_first = float(ents[0])
         ent_final = float(ents[-1])

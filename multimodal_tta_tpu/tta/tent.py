@@ -353,7 +353,7 @@ class TentAdapter:
         partition = self._partition
         combine = self._combine
 
-        def adapt(params, batch_stats, opt_state, image, rng, n_valid):
+        def adapt(params, batch_stats, opt_state, image, rng, n_valid, ent_floor):
             trainable0, frozen = partition(params, param_mask)
             if episodic:
                 # fresh optimizer state per batch, created INSIDE the jit so
@@ -468,11 +468,17 @@ class TentAdapter:
             def gated(active, e0, ent, new, old):
                 """Apply `new` over `old` only while adaptation is live AND
                 the just-measured entropy sits above the floor; returns the
-                merged tree and the next active flag. The frozen tail of the
-                scan still computes (scan length is static) but cannot move
-                the state — the entropy trace then reports the frozen
-                params' entropy, flat by construction."""
-                still = active & (ent >= early_stop_ratio * e0)
+                merged tree and the next active flag. The floor is ABSOLUTE
+                when the caller supplies one (``ent_floor`` — the streaming
+                controller anchors it at the stream's first pre-adaptation
+                entropy, because in continual mode each batch's own e0 is
+                already collapsed and a batch-relative floor never fires),
+                else relative to this batch's first-step entropy. The frozen
+                tail of the scan still computes (scan length is static) but
+                cannot move the state — the entropy trace then reports the
+                frozen params' entropy, flat by construction."""
+                floor = jnp.where(jnp.isnan(ent_floor), early_stop_ratio * e0, ent_floor)
+                still = active & (ent >= floor)
                 merged = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(still, a, b), new, old
                 )
@@ -536,7 +542,7 @@ class TentAdapter:
             rep = replicated(self.mesh)
             return jax.jit(
                 adapt,
-                in_shardings=(rep, rep, rep, bsh, rep, rep),
+                in_shardings=(rep, rep, rep, bsh, rep, rep, rep),
                 out_shardings=rep,
             )
         return jax.jit(adapt)
@@ -556,7 +562,7 @@ class TentAdapter:
         self._opt_state = opt_state0
         self._last_ents = None
 
-        def adapt_fn(state, image, n_valid):
+        def adapt_fn(state, image, n_valid, ent_floor=None):
             base = source_state if self.episodic else state
             # episodic: the jit re-inits internally; pass the template state
             opt_state = self._opt_state
@@ -568,6 +574,7 @@ class TentAdapter:
                 image,
                 key,
                 jnp.int32(n_valid),
+                jnp.float32(jnp.nan if ent_floor is None else ent_floor),
             )
             if not self.episodic:
                 self._opt_state = opt_state
@@ -593,11 +600,17 @@ class TentAdapter:
         self._opt_state = opt_state0
         self._last_ents = None
 
-        def adapt_predict_fn(state, image, n_valid):
+        def adapt_predict_fn(state, image, n_valid, ent_floor=None):
             base = source_state if self.episodic else state
             self._rng, key = jax.random.split(self._rng)
             params, batch_stats, opt_state, ents, pred = step(
-                base.params, base.batch_stats, self._opt_state, image, key, jnp.int32(n_valid)
+                base.params,
+                base.batch_stats,
+                self._opt_state,
+                image,
+                key,
+                jnp.int32(n_valid),
+                jnp.float32(jnp.nan if ent_floor is None else ent_floor),
             )
             if not self.episodic:
                 self._opt_state = opt_state

@@ -636,3 +636,17 @@ class TestEarlyStop:
         guarded = self._run(early_stop=True, steps=2, lr=1e-3)
         free = self._run(early_stop=False, steps=2, lr=1e-3)
         np.testing.assert_allclose(guarded, free, rtol=1e-6)
+
+    def test_absolute_floor_freezes_from_first_step(self):
+        state = make_state()
+        tta = tent_cfg(steps=8, lr=1e-2)
+        tta["early_stop"] = {"enabled": True, "entropy_floor_ratio": 0.3}
+        cfg = full_cfg(tta=tta)
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+        adapt_fn = adapter.make_adapt_fn(state)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 16, 2), jnp.float32)
+        out = adapt_fn(state, x, 2, ent_floor=1e6)  # floor above any entropy
+        for a, b in zip(
+            jax.tree_util.tree_leaves(out.params), jax.tree_util.tree_leaves(state.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

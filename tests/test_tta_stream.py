@@ -180,3 +180,32 @@ class TestCollapseGuard:
         ctrl = StreamTTAController.from_config(_adapter(state), state, cfg, threshold=0.4)
         assert ctrl.policy == "reset_on_domain_change"
         assert ctrl.guard and ctrl.floor_ratio == 0.3 and ctrl.period == 7
+
+
+class TestStreamAnchoredEarlyStop:
+    def test_absolute_floor_arrests_stream_collapse(self):
+        """In continual mode each batch's own first-step entropy collapses
+        along the stream, so the adapter's batch-relative early-stop anchor
+        never fires (measured on the TPU harness) — the controller passes a
+        STREAM-anchored absolute floor instead, which must keep the carried
+        state's entropy pinned near the floor instead of collapsing."""
+        state = _state()
+
+        def run(early_stop):
+            adapter = _adapter(state, steps=24, lr=2.0)
+            if early_stop:
+                adapter.early_stop = True
+                adapter.early_stop_ratio = 0.5
+            ctrl = StreamTTAController(adapter, state, threshold=0.5, policy="continual")
+            infos = [ctrl.step(_batch(i), 2)[1] for i in range(4)]
+            return infos
+
+        free = run(False)
+        braked = run(True)
+        e0 = braked[0]["entropy_first"]
+        assert free[-1]["entropy_final"] < 0.2 * e0, "regime not collapsing"
+        # the brake holds the carried state near the floor across the stream
+        assert braked[-1]["entropy_first"] >= 0.4 * e0, (
+            braked[-1], e0,
+        )
+        assert braked[-1]["entropy_final"] > free[-1]["entropy_final"]
