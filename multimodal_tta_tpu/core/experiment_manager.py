@@ -79,7 +79,7 @@ class ExperimentManager:
         self.val_loader = None
         self.test_loader = None
 
-        self.logger.info(f"Experiment Manager initialized for task: {self.task_name}")
+        self.logger.info(f"ExperimentManager up — task '{self.task_name}'")
         self.logger.info(f"Random seed: {seed} | deterministic: {deterministic}")
 
     # ------------------------------------------------------------------
@@ -197,7 +197,7 @@ class ExperimentManager:
                 return "?"
 
         self.logger.info(
-            f"Data loaders created for task: {self.task_name} | "
+            f"Loaders ready for '{self.task_name}': "
             f"train={n(self.train_loader)} val={n(self.val_loader) if self.val_loader else 0} "
             f"test={n(self.test_loader) if self.test_loader else 0}"
         )
@@ -287,7 +287,7 @@ class ExperimentManager:
             )
 
         self.trainer.register_hooks(hooks)
-        self.logger.info(f"{len(hooks)} hooks registered.")
+        self.logger.info(f"Hook set attached ({len(hooks)} hooks)")
 
     def setup_trainer(self, run_dir: Optional[str] = None):
         if self.eval_strategy_name is None:
@@ -320,14 +320,14 @@ class ExperimentManager:
             self.trainer.start_epoch = self.checkpoint_hook.load(str(resume))
 
         self.logger.info(
-            f"Trainer created: {type(self.trainer).__name__} for task: {self.task_name}"
+            f"{type(self.trainer).__name__} ready for '{self.task_name}'"
         )
 
     # ------------------------------------------------------------------
     def train(self, epochs: int) -> Dict[str, List]:
         if self.trainer is None:
             raise ValueError("Trainer must be setup before training")
-        self.logger.info(f"Starting training for {epochs} epochs...")
+        self.logger.info(f"Launching {epochs}-epoch training run")
         eval_on_train = bool(get_config(self.config, "training.eval_on_train", False))
         with self.mesh:
             results = self.trainer.train(

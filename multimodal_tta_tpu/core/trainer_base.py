@@ -86,7 +86,7 @@ class TrainerBase(ABC):
         self.state = state
         self.evaluation_strategy = evaluation_strategy
         self.scheduler = scheduler
-        self.logger.info("Trainer setup completed")
+        self.logger.info("Trainer wired (model/optimizer/eval strategy attached)")
 
     def register_hooks(self, hooks: List[HookBase]):
         hooks = [h for h in hooks if h is not None]
@@ -117,7 +117,7 @@ class TrainerBase(ABC):
         test_loader=None,
         eval_on_train: bool = False,
     ) -> Dict[str, List]:
-        self.logger.info(f"Starting training for {epochs} epochs")
+        self.logger.info(f"Training: {epochs} epoch(s) scheduled")
         train_history: List[Dict[str, float]] = []
         eval_history: List[Dict[str, float]] = []
 
@@ -165,15 +165,15 @@ class TrainerBase(ABC):
                     )
                 else:
                     pbar.set_postfix({"train_loss": train_stats.get("loss")})
-                    self.logger.info(f"Epoch {epoch} completed. Train loss: {train_stats.get('loss')}")
+                    self.logger.info(f"Epoch {epoch} done (train loss {train_stats.get('loss')})")
 
         except StopIteration as e:
-            self.logger.info(f"Training stopped early: {e}")
+            self.logger.info(f"Early stop raised mid-training: {e}")
         finally:
             for h in self._hooks:
                 h.after_train()
 
-        self.logger.info("Training completed")
+        self.logger.info("Training loop finished")
         return {"train_history": train_history, "eval_history": eval_history}
 
     # ------------------------------------------------------------------
@@ -282,7 +282,7 @@ class TrainerBase(ABC):
     # ------------------------------------------------------------------
     def evaluate(self, epoch: int, data_loader) -> Tuple[Dict[str, float], bool]:
         if self.evaluation_strategy is None:
-            self.logger.warning("No evaluation strategy set, skipping evaluation.")
+            self.logger.warning("Evaluation skipped: no strategy attached to the trainer.")
             return {}, False
         for h in self._hooks:
             h.before_val()

@@ -250,8 +250,13 @@ def main() -> None:
     # floor — acts WITHIN the 16-step scan where the watchdog cannot
     emit(run_policy(manager, cfg, device_transform, policy="continual", guard=False,
                     early_stop_ratio=0.3, **cl))
+    # entropy lags the Dice damage in this regime (measured: CHUP already at
+    # 0.31 Dice while entropy only halves), so a conservative floor is the
+    # effective brake setting
+    emit(run_policy(manager, cfg, device_transform, policy="continual", guard=False,
+                    early_stop_ratio=0.6, **cl))
     emit(run_policy(manager, cfg, device_transform, policy="continual", guard=True,
-                    floor_ratio=0.5, early_stop_ratio=0.3, **cl))
+                    floor_ratio=0.5, early_stop_ratio=0.6, **cl))
 
     no_adapt = rows[0]["avg_dc"]
     cl_rows = [r for r in rows if r.get("steps") == args.collapse_steps]
