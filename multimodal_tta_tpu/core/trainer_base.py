@@ -25,39 +25,25 @@ from ..utils.metrics import AverageMeter
 class HookBase:
     """Lifecycle hook; see reference trainer_base.py:23-94 for the contract.
 
+    Nine no-op lifecycle points, overridable individually:
     before_train / after_train / before_train_epoch / after_train_epoch /
     before_train_step / after_train_step / before_val / after_val(is_best) /
-    on_epoch_end(epoch, train_stats, eval_stats, is_best) / state_dict.
+    on_epoch_end(epoch, train_stats, eval_stats, is_best), plus state_dict()
+    for checkpointable hook state. All default bodies share one no-op — a
+    subclass overrides only the events it cares about.
     """
 
     trainer: "TrainerBase" = None
 
-    def before_train(self):
-        pass
+    def _noop(self, *args, **kwargs):
+        return None
 
-    def after_train(self):
-        pass
-
-    def before_train_epoch(self):
-        pass
-
-    def after_train_epoch(self):
-        pass
-
-    def before_train_step(self):
-        pass
-
-    def after_train_step(self):
-        pass
-
-    def before_val(self):
-        pass
-
-    def after_val(self, is_best: bool):
-        pass
-
-    def on_epoch_end(self, epoch: int, train_stats, eval_stats, is_best: bool):
-        pass
+    before_train = after_train = _noop
+    before_train_epoch = after_train_epoch = _noop
+    before_train_step = after_train_step = _noop
+    before_val = _noop
+    after_val = _noop  # after_val(is_best)
+    on_epoch_end = _noop  # on_epoch_end(epoch, train_stats, eval_stats, is_best)
 
     def state_dict(self) -> Dict[str, Any]:
         return {}
@@ -96,6 +82,11 @@ class TrainerBase(ABC):
         self._hooks.extend(hooks)
         self.logger.info(f"Registered {len(hooks)} hooks")
 
+    def _emit(self, event: str, *args) -> None:
+        """Fire one lifecycle event on every registered hook, in order."""
+        for h in self._hooks:
+            getattr(h, event)(*args)
+
     # ------------------------------------------------------------------
     def _should_run_eval_test(self, epoch: int, epochs: int) -> bool:
         start_epoch = int(get_config(self.config, "training.eval_test.start_epoch", 0))
@@ -121,8 +112,7 @@ class TrainerBase(ABC):
         train_history: List[Dict[str, float]] = []
         eval_history: List[Dict[str, float]] = []
 
-        for h in self._hooks:
-            h.before_train()
+        self._emit("before_train")
 
         do_val = bool(get_config(self.config, "training.eval_test.do_val", True))
         do_test = bool(get_config(self.config, "training.eval_test.do_test", False))
@@ -152,8 +142,7 @@ class TrainerBase(ABC):
                 if should_run and do_test and test_loader is not None:
                     self.test(epoch, test_loader)
 
-                for h in self._hooks:
-                    h.on_epoch_end(epoch, train_stats, eval_stats, is_best)
+                self._emit("on_epoch_end", epoch, train_stats, eval_stats, is_best)
 
                 if eval_stats.get("loss") is not None:
                     pbar.set_postfix(
@@ -170,8 +159,7 @@ class TrainerBase(ABC):
         except StopIteration as e:
             self.logger.info(f"Early stop raised mid-training: {e}")
         finally:
-            for h in self._hooks:
-                h.after_train()
+            self._emit("after_train")
 
         self.logger.info("Training loop finished")
         return {"train_history": train_history, "eval_history": eval_history}
@@ -186,15 +174,13 @@ class TrainerBase(ABC):
             lr = self.scheduler.lr_for_epoch(epoch, self._last_val_loss)
             self._set_lr(lr)
 
-        for h in self._hooks:
-            h.before_train_epoch()
+        self._emit("before_train_epoch")
 
         pbar = tqdm(self._wrap_loader(data_loader), desc=f"Epoch {epoch} [Train]", leave=False)
         n_batches = 0
         for batch in pbar:
             n_batches += 1
-            for h in self._hooks:
-                h.before_train_step()
+            self._emit("before_train_step")
 
             step_metrics = self.run_step(batch)
             self._update_metrics(metrics, step_metrics)
@@ -202,8 +188,7 @@ class TrainerBase(ABC):
             pbar.set_postfix(**self._format_progress_metrics(metrics))
             self.iter += 1
 
-            for h in self._hooks:
-                h.after_train_step()
+            self._emit("after_train_step")
 
         if n_batches == 0:
             self.logger.warning(
@@ -216,8 +201,7 @@ class TrainerBase(ABC):
         # the device->host metric sync by one step to keep the TPU pipelined)
         self._update_metrics(metrics, self.flush_step_metrics())
 
-        for h in self._hooks:
-            h.after_train_epoch()
+        self._emit("after_train_epoch")
 
         out = self._finalize_epoch_metrics(metrics)
         if n_batches == 0:
@@ -284,15 +268,13 @@ class TrainerBase(ABC):
         if self.evaluation_strategy is None:
             self.logger.warning("Evaluation skipped: no strategy attached to the trainer.")
             return {}, False
-        for h in self._hooks:
-            h.before_val()
+        self._emit("before_val")
         eval_stats = self.evaluation_strategy.evaluate_epoch(self.state, data_loader, self.mesh)
         self.logger.info(f"Epoch {epoch} evaluation results: {eval_stats}")
         is_best = self._is_best_model(eval_stats)
         if is_best:
             self.best_metrics.update(eval_stats)
-        for h in self._hooks:
-            h.after_val(is_best)
+        self._emit("after_val", is_best)
         return eval_stats, is_best
 
     def eval_on_train(self, epoch: int, data_loader) -> Dict[str, float]:

@@ -15,10 +15,17 @@ Seven global registries are exposed (MODELS, DATASETS, DATASET_BUILDERS,
 EVALUATION_STRATEGIES, CRITERIA, PROVIDERS, PLUGINS). The reference never
 populates CRITERIA/PROVIDERS/PLUGINS (vestigial hooks of a parent project);
 we keep them for API parity and use CRITERIA for registered loss builders.
+TTA_METHODS is new in the TPU framework.
+
+The per-kind module-level helpers (``register_model`` / ``get_model`` /
+``list_models`` and friends) are synthesized from the ``_KINDS`` table below
+rather than written out one by one — one row per registry kind keeps the
+surface in a single place while exposing exactly the reference's names.
 """
 
 from __future__ import annotations
 
+import warnings
 from typing import Callable, Dict, List, Optional, Type
 
 
@@ -29,32 +36,31 @@ class Registry:
         self.name = name
         self._registry: Dict[str, Type] = {}
 
+    def _bind(self, name: str, cls: Type) -> Type:
+        prior = self._registry.get(name)
+        if prior is not None and prior is not cls:
+            warnings.warn(f"'{name}' is already registered in {self.name}; overwriting")
+        self._registry[name] = cls
+        return cls
+
     def register(self, name: str, cls: Optional[Type] = None) -> Callable:
         """Register a component.
 
         Usable as a decorator ``@registry.register("x")`` or called directly
         ``registry.register("x", Cls)``.
         """
-
-        def _register(c: Type) -> Type:
-            if name in self._registry and self._registry[name] is not c:
-                import warnings
-
-                warnings.warn(f"'{name}' is already registered in {self.name}; overwriting")
-            self._registry[name] = c
-            return c
-
         if cls is not None:
-            return _register(cls)
-        return _register
+            return self._bind(name, cls)
+        return lambda c: self._bind(name, c)
 
     def get(self, name: str) -> Type:
-        if name not in self._registry:
+        try:
+            return self._registry[name]
+        except KeyError:
             raise KeyError(
                 f"'{name}' is not registered in {self.name}. "
                 f"Available: {sorted(self._registry.keys())}"
-            )
-        return self._registry[name]
+            ) from None
 
     def has(self, name: str) -> bool:
         return name in self._registry
@@ -72,122 +78,72 @@ class Registry:
         return len(self._registry)
 
 
-# Global registries (same set as the reference).
-MODELS = Registry("models")
-DATASETS = Registry("datasets")
-DATASET_BUILDERS = Registry("dataset_builders")
-EVALUATION_STRATEGIES = Registry("evaluation_strategies")
-CRITERIA = Registry("criteria")
-PROVIDERS = Registry("providers")
-PLUGINS = Registry("plugins")
-# New in the TPU framework: test-time-adaptation methods.
-TTA_METHODS = Registry("tta_methods")
+# One row per registry kind: singular helper suffix -> (plural, Registry).
+# The plural doubles as the ``list_<plural>`` helper suffix and the key in
+# ``list_all_components()``; the globals MODELS/DATASETS/... are bound below.
+_KINDS: Dict[str, str] = {
+    "model": "models",
+    "dataset": "datasets",
+    "dataset_builder": "dataset_builders",
+    "evaluation_strategy": "evaluation_strategies",
+    "criterion": "criteria",
+    "provider": "providers",
+    "plugin": "plugins",
+    "tta_method": "tta_methods",
+}
+
+_REGISTRIES: Dict[str, Registry] = {plural: Registry(plural) for plural in _KINDS.values()}
+
+# Global registry objects under the reference's ALL_CAPS names.
+globals().update({plural.upper(): reg for plural, reg in _REGISTRIES.items()})
+
+# Keep static analyzers / IDEs aware of the canonical eight.
+MODELS: Registry = _REGISTRIES["models"]
+DATASETS: Registry = _REGISTRIES["datasets"]
+DATASET_BUILDERS: Registry = _REGISTRIES["dataset_builders"]
+EVALUATION_STRATEGIES: Registry = _REGISTRIES["evaluation_strategies"]
+CRITERIA: Registry = _REGISTRIES["criteria"]
+PROVIDERS: Registry = _REGISTRIES["providers"]
+PLUGINS: Registry = _REGISTRIES["plugins"]
+TTA_METHODS: Registry = _REGISTRIES["tta_methods"]
 
 
-def register_model(name: str):
-    return MODELS.register(name)
+def _synthesize_helpers() -> List[str]:
+    """Create register_<kind> / get_<kind> / list_<plural> module functions."""
+    made: List[str] = []
+    for singular, plural in _KINDS.items():
+        reg = _REGISTRIES[plural]
+
+        def _register(name: str, _reg: Registry = reg) -> Callable:
+            return _reg.register(name)
+
+        def _get(name: str, _reg: Registry = reg) -> Type:
+            return _reg.get(name)
+
+        def _list(_reg: Registry = reg) -> List[str]:
+            return _reg.list_all()
+
+        for fn, py_name in (
+            (_register, f"register_{singular}"),
+            (_get, f"get_{singular}"),
+            (_list, f"list_{plural}"),
+        ):
+            fn.__name__ = fn.__qualname__ = py_name
+            fn.__doc__ = f"{py_name.split('_')[0].capitalize()} helper for the '{plural}' registry."
+            globals()[py_name] = fn
+            made.append(py_name)
+    return made
 
 
-def register_dataset(name: str):
-    return DATASETS.register(name)
-
-
-def register_dataset_builder(name: str):
-    return DATASET_BUILDERS.register(name)
-
-
-def register_evaluation_strategy(name: str):
-    return EVALUATION_STRATEGIES.register(name)
-
-
-def register_criterion(name: str):
-    return CRITERIA.register(name)
-
-
-def register_provider(name: str):
-    return PROVIDERS.register(name)
-
-
-def register_plugin(name: str):
-    return PLUGINS.register(name)
-
-
-def register_tta_method(name: str):
-    return TTA_METHODS.register(name)
-
-
-def get_model(name: str) -> Type:
-    return MODELS.get(name)
-
-
-def get_dataset(name: str) -> Type:
-    return DATASETS.get(name)
-
-
-def get_dataset_builder(name: str) -> Type:
-    return DATASET_BUILDERS.get(name)
-
-
-def get_evaluation_strategy(name: str) -> Type:
-    return EVALUATION_STRATEGIES.get(name)
-
-
-def get_criterion(name: str) -> Type:
-    return CRITERIA.get(name)
-
-
-def get_provider(name: str) -> Type:
-    return PROVIDERS.get(name)
-
-
-def get_plugin(name: str) -> Type:
-    return PLUGINS.get(name)
-
-
-def get_tta_method(name: str) -> Type:
-    return TTA_METHODS.get(name)
-
-
-def list_models() -> List[str]:
-    return MODELS.list_all()
-
-
-def list_datasets() -> List[str]:
-    return DATASETS.list_all()
-
-
-def list_dataset_builders() -> List[str]:
-    return DATASET_BUILDERS.list_all()
-
-
-def list_evaluation_strategies() -> List[str]:
-    return EVALUATION_STRATEGIES.list_all()
-
-
-def list_criteria() -> List[str]:
-    return CRITERIA.list_all()
-
-
-def list_providers() -> List[str]:
-    return PROVIDERS.list_all()
-
-
-def list_plugins() -> List[str]:
-    return PLUGINS.list_all()
-
-
-def list_tta_methods() -> List[str]:
-    return TTA_METHODS.list_all()
+_HELPER_NAMES = _synthesize_helpers()
 
 
 def list_all_components() -> Dict[str, List[str]]:
-    return {
-        "models": MODELS.list_all(),
-        "datasets": DATASETS.list_all(),
-        "dataset_builders": DATASET_BUILDERS.list_all(),
-        "evaluation_strategies": EVALUATION_STRATEGIES.list_all(),
-        "criteria": CRITERIA.list_all(),
-        "providers": PROVIDERS.list_all(),
-        "plugins": PLUGINS.list_all(),
-        "tta_methods": TTA_METHODS.list_all(),
-    }
+    return {plural: reg.list_all() for plural, reg in _REGISTRIES.items()}
+
+
+__all__ = (
+    ["Registry", "list_all_components"]
+    + [plural.upper() for plural in _KINDS.values()]
+    + _HELPER_NAMES
+)

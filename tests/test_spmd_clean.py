@@ -92,6 +92,7 @@ def test_adapt_compiles_without_involuntary_remat(capfd, no_compile_cache):
             img,
             jax.random.PRNGKey(0),
             jnp.int32(8),
+            jnp.float32(jnp.nan),  # ent_floor: NaN = batch-relative (unset)
         ).compile()
     captured = capfd.readouterr()
     assert INVOLUNTARY not in captured.err, (
@@ -183,7 +184,13 @@ def test_midfusion_adapt_compiles_without_involuntary_remat(capfd, no_compile_ca
         opt0 = adapter._tx.init(adapter.trainable_subtree(state.params))
         capfd.readouterr()
         step.lower(
-            state.params, state.batch_stats, opt0, img, jax.random.PRNGKey(0), jnp.int32(8)
+            state.params,
+            state.batch_stats,
+            opt0,
+            img,
+            jax.random.PRNGKey(0),
+            jnp.int32(8),
+            jnp.float32(jnp.nan),
         ).compile()
     captured = capfd.readouterr()
     assert INVOLUNTARY not in captured.err, (
