@@ -93,6 +93,30 @@ def count_true(mask) -> int:
     return sum(bool(x) for x in jax.tree_util.tree_leaves(mask))
 
 
+def reliability_weights(
+    logits: jnp.ndarray, *, sigmoid: bool, margin_ratio: float
+) -> jnp.ndarray:
+    """EATA-style per-sample reliability weights, [B] in [0, e^margin].
+
+    A sample's reliability score is its SELF-NORMALIZED entropy (the
+    uncertain-region entropy; the plain volume mean is diluted to ~1e-4 by
+    confident background voxels — see entropy_loss — so an absolute margin
+    on it would never fire in dense segmentation). Samples scoring above
+    ``margin_ratio * H_max`` get weight 0 (excluded from the objective);
+    the rest get exp(margin - e), emphasizing confident samples — the EATA
+    S(x) = 1{E(x) < E0} / exp(E(x) - E0) weighting with the segmentation
+    entropy in place of the classification entropy. H_max = ln 2 per-channel
+    Bernoulli (sigmoid mode) or ln C categorical (softmax mode).
+    """
+    e = jax.vmap(
+        lambda lg: entropy_loss(lg[None], sigmoid=sigmoid, focus="uncertain")
+    )(logits)
+    e = jax.lax.stop_gradient(e)
+    h_max = jnp.log(2.0) if sigmoid else jnp.log(float(logits.shape[-1]))
+    margin = margin_ratio * h_max
+    return jnp.where(e < margin, jnp.exp(margin - e), 0.0)
+
+
 @register_tta_method("tent")
 class TentAdapter:
     """Builds ``adapt_fn(state, image, n_valid) -> adapted state`` closures.
@@ -161,6 +185,46 @@ class TentAdapter:
         es = get_config(self.cfg, "early_stop", ConfigNode())
         self.early_stop = bool(get_config(es, "enabled", False))
         self.early_stop_ratio = float(get_config(es, "entropy_floor_ratio", 0.3))
+
+        # stochastic restore to SOURCE (the restore half of CoTTA, Wang et
+        # al., "Continual Test-Time Domain Adaptation", CVPR 2022 — public
+        # method): after every optimizer update, each trainable element
+        # independently snaps back to its source value with probability
+        # ``prob``. Over a long continual stream this bounds drift from the
+        # source model (anti-forgetting) without the discrete resets of the
+        # stream watchdog — a per-element leak toward source instead of a
+        # batch-granular re-anchor. With update=norm the restored subtree is
+        # a handful of 1-D affines (negligible cost); with update=all the
+        # source copy of every parameter rides along in the jit.
+        rst = get_config(self.cfg, "restore", ConfigNode())
+        self.restore_enabled = bool(get_config(rst, "enabled", False))
+        self.restore_prob = float(get_config(rst, "prob", 0.01))
+        if self.restore_enabled:
+            self.logger.info(
+                f"[tent] stochastic restore to source enabled "
+                f"(prob={self.restore_prob} per element per step)"
+            )
+
+        # per-sample reliability gating (the sample-filtering half of EATA,
+        # Niu et al., "Efficient Test-Time Model Adaptation without
+        # Forgetting", ICML 2022 — public method): samples whose
+        # self-normalized entropy exceeds margin_ratio * H_max contribute
+        # NOTHING to the adaptation objective; the rest are weighted
+        # exp(margin - e) (more confident -> larger weight). High-entropy
+        # samples produce noisy, often harmful gradients — on a stream this
+        # skips un-adaptable batches instead of collapsing on them. H_max is
+        # ln 2 (sigmoid/Bernoulli voxels) or ln C (softmax). EATA's second
+        # (redundancy) filter — cosine similarity to a moving prediction
+        # average — is deliberately not implemented: it serializes batches
+        # against host state; the entropy gate is the collapse-relevant half.
+        rel = get_config(self.cfg, "reliability", ConfigNode())
+        self.rel_enabled = bool(get_config(rel, "enabled", False))
+        self.rel_margin_ratio = float(get_config(rel, "margin_ratio", 0.4))
+        if self.rel_enabled:
+            self.logger.info(
+                f"[tent] reliability gating enabled "
+                f"(margin = {self.rel_margin_ratio} * H_max, EATA-style)"
+            )
 
         # entropy focus: "all" = plain volume-mean Tent objective;
         # "uncertain" = self-normalized entropy (voxels weighted by their own
@@ -347,11 +411,20 @@ class TentAdapter:
         windows_per_step = self.windows_per_step
         early_stop = self.early_stop
         early_stop_ratio = self.early_stop_ratio
+        restore_enabled = self.restore_enabled
+        restore_prob = self.restore_prob
+        rel_enabled = self.rel_enabled
+        rel_margin_ratio = self.rel_margin_ratio
 
         episodic = self.episodic
 
         partition = self._partition
         combine = self._combine
+
+        # the restore anchor is the SOURCE trainable subtree — captured here
+        # as a jit constant, so in continual mode restore pulls toward the
+        # original source model, not the previous batch's carried state
+        src_trainable = partition(state.params, param_mask)[0] if restore_enabled else None
 
         def adapt(params, batch_stats, opt_state, image, rng, n_valid, ent_floor):
             trainable0, frozen = partition(params, param_mask)
@@ -386,7 +459,12 @@ class TentAdapter:
                 )(
                     logits
                 )
-                loss = jnp.sum(per_sample * mask) / denom
+                sample_w = mask
+                if rel_enabled:
+                    sample_w = mask * reliability_weights(
+                        logits, sigmoid=sigmoid_mode, margin_ratio=rel_margin_ratio
+                    )
+                loss = jnp.sum(per_sample * sample_w) / denom
                 if use_consistency:
                     # invariance to an intensity-jittered view of the batch
                     x2 = rand_intensity_scale_shift(
@@ -427,7 +505,18 @@ class TentAdapter:
                 k_crop, k_cons = jax.random.split(key)
                 wins = crop_windows(k_crop, x)  # all windows come from valid samples
                 logits, new_bs = forward(trainable, bs, wins)
-                loss = entropy_loss(logits, sigmoid=sigmoid_mode, focus=entropy_focus)
+                if rel_enabled:
+                    per_win = jax.vmap(
+                        lambda lg: entropy_loss(
+                            lg[None], sigmoid=sigmoid_mode, focus=entropy_focus
+                        )
+                    )(logits)
+                    win_w = reliability_weights(
+                        logits, sigmoid=sigmoid_mode, margin_ratio=rel_margin_ratio
+                    )
+                    loss = jnp.sum(per_win * win_w) / logits.shape[0]
+                else:
+                    loss = entropy_loss(logits, sigmoid=sigmoid_mode, focus=entropy_focus)
                 if use_consistency:
                     wins2 = rand_intensity_scale_shift(
                         k_cons, wins, scale=cons_scale, shift=cons_shift, prob=1.0
@@ -454,6 +543,11 @@ class TentAdapter:
                 return jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.uint8)
 
             def grad_step(trainable, bs, opt_state, key, dropout: bool):
+                if restore_enabled:
+                    # split the restore key off FIRST so the (k_md, k_obj)
+                    # stream is unchanged when restore is disabled — measured
+                    # BASELINE results depend on that stream
+                    key, k_rst = jax.random.split(key)
                 k_md, k_obj = jax.random.split(key)
                 x = image
                 if dropout:
@@ -463,6 +557,19 @@ class TentAdapter:
                 )(trainable, bs, x, k_obj)
                 updates, opt_state = tx.update(grads, opt_state, trainable)
                 trainable = optax.apply_updates(trainable, updates)
+                if restore_enabled:
+                    leaves, treedef = jax.tree_util.tree_flatten(trainable)
+                    src_leaves = jax.tree_util.tree_flatten(src_trainable)[0]
+                    ks = jax.random.split(k_rst, len(leaves))
+                    trainable = jax.tree_util.tree_unflatten(
+                        treedef,
+                        [
+                            jnp.where(
+                                jax.random.bernoulli(k, restore_prob, l.shape), s, l
+                            )
+                            for k, l, s in zip(ks, leaves, src_leaves)
+                        ],
+                    )
                 return trainable, new_bs, opt_state, ent, logits
 
             def gated(active, e0, ent, new, old):

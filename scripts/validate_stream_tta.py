@@ -124,7 +124,8 @@ def stream_batches(manager):
 
 
 def run_policy(manager, cfg, device_transform, *, policy, guard, steps, lr,
-               threshold=0.3, floor_ratio=0.2, early_stop_ratio=None):
+               threshold=0.3, floor_ratio=0.2, early_stop_ratio=None,
+               restore_prob=None, rel_margin=None):
     """One pass over the ordered stream under one controller config."""
     from multimodal_tta_tpu.conf import ConfigNode
     from multimodal_tta_tpu.tta import StreamTTAController, TentAdapter
@@ -135,6 +136,10 @@ def run_policy(manager, cfg, device_transform, *, policy, guard, steps, lr,
             "entropy_focus": "uncertain"}
     if early_stop_ratio is not None:
         node["early_stop"] = {"enabled": True, "entropy_floor_ratio": early_stop_ratio}
+    if restore_prob is not None:
+        node["restore"] = {"enabled": True, "prob": restore_prob}
+    if rel_margin is not None:
+        node["reliability"] = {"enabled": True, "margin_ratio": rel_margin}
     tta_cfg = ConfigNode(node)
     adapter = TentAdapter(tta_cfg, config=cfg, mesh=manager.mesh,
                           device_transform=device_transform)
@@ -150,6 +155,12 @@ def run_policy(manager, cfg, device_transform, *, policy, guard, steps, lr,
     if early_stop_ratio is not None:
         row["policy"] += "+early_stop"
         row["early_stop"] = early_stop_ratio
+    if restore_prob is not None:
+        row["policy"] += "+restore"
+        row["restore"] = restore_prob
+    if rel_margin is not None:
+        row["policy"] += "+rel"
+        row["rel_margin"] = rel_margin
     return row
 
 
@@ -257,6 +268,23 @@ def main() -> None:
                     early_stop_ratio=0.6, **cl))
     emit(run_policy(manager, cfg, device_transform, policy="continual", guard=True,
                     floor_ratio=0.5, early_stop_ratio=0.6, **cl))
+    # CoTTA-style stochastic restore: a per-element, per-step leak toward
+    # source — unlike the entropy-triggered defenses it needs no lagging
+    # entropy signal, so it is the candidate defense for the regime where
+    # entropy lags the Dice damage
+    emit(run_policy(manager, cfg, device_transform, policy="continual", guard=False,
+                    restore_prob=0.01, **cl))
+    emit(run_policy(manager, cfg, device_transform, policy="continual", guard=False,
+                    restore_prob=0.05, **cl))
+    # EATA-style reliability gate: skip batches whose self-normalized
+    # entropy says adaptation would be noise
+    emit(run_policy(manager, cfg, device_transform, policy="continual", guard=False,
+                    rel_margin=0.4, **cl))
+    # do the defenses cost anything at the measured OPERATING point?
+    emit(run_policy(manager, cfg, device_transform, policy="continual", guard=True,
+                    restore_prob=0.01, **op))
+    emit(run_policy(manager, cfg, device_transform, policy="continual", guard=True,
+                    rel_margin=0.4, **op))
 
     no_adapt = rows[0]["avg_dc"]
     cl_rows = [r for r in rows if r.get("steps") == args.collapse_steps]

@@ -135,3 +135,25 @@ class TestStreamAdaptCLI:
         assert "dom/CHUS/avg_dc" in adapted and "dom/CHUM/avg_dc" in adapted
         assert adapted["positions"] and adapted["positions"][0]["domain"] == "CHUS"
         assert adapted["reanchors"] >= 1  # the CHUS -> CHUM boundary
+
+    def test_defense_presets_run(self, fixture_env):
+        """The CoTTA-restore / EATA-gate knobs plumb through the CLI: one
+        adapt.py run with both enabled (the configs/tta presets package the
+        same keys) still produces the full metric schema."""
+        proc = run_cli(
+            "adapt.py",
+            common_overrides(fixture_env, "cli_defense")
+            + [
+                "tta=cotta_restore",
+                "tta.steps=1",
+                "tta.restore.prob=0.5",
+                "tta.reliability.enabled=true",
+                "tta.reliability.margin_ratio=10.0",
+            ],
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        base = os.path.join(fixture_env["root"], "outputs", "cli_defense")
+        run_dir = os.path.join(base, sorted(os.listdir(base))[-1])
+        with open(os.path.join(run_dir, "tta_metrics.json")) as f:
+            metrics = json.load(f)
+        assert "gtvt_dc" in metrics["adapted"]

@@ -156,3 +156,12 @@ class TestComposerEdgeCases:
     def test_tta_consistency_block(self):
         cfg = compose(CONFIG_DIR, "config", ["tta=tent", "hydra.job.chdir=false"])
         assert cfg.tta.consistency.weight == 1.0
+
+    def test_defense_presets_compose(self):
+        cfg = compose(CONFIG_DIR, "config", ["tta=cotta_restore", "hydra.job.chdir=false"])
+        assert cfg.tta.restore.enabled is True
+        assert cfg.tta.restore.prob == 0.01
+        assert cfg.tta.episodic is False
+        cfg = compose(CONFIG_DIR, "config", ["tta=eata_gate", "hydra.job.chdir=false"])
+        assert cfg.tta.reliability.enabled is True
+        assert cfg.tta.reliability.margin_ratio == 0.4

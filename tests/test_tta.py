@@ -650,3 +650,124 @@ class TestEarlyStop:
             jax.tree_util.tree_leaves(out.params), jax.tree_util.tree_leaves(state.params)
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestStochasticRestore:
+    """CoTTA-style stochastic restore (tta.restore): after each update every
+    adapted element snaps back to its SOURCE value with probability p —
+    the per-element anti-forgetting leak (the stream watchdog's re-anchor is
+    the batch-granular counterpart)."""
+
+    def _adapt(self, restore=None, episodic=True, steps=4, lr=0.5, batches=1):
+        state = make_state()
+        tta = tent_cfg(steps=steps, lr=lr, momentum=0.0, episodic=episodic)
+        if restore is not None:
+            tta["restore"] = {"enabled": True, "prob": restore}
+        cfg = full_cfg(tta=tta)
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+        adapt_fn = adapter.make_adapt_fn(state)
+        rng = np.random.RandomState(0)
+        out = state
+        for _ in range(batches):
+            x = jnp.asarray(rng.randn(2, 16, 16, 16, 2), jnp.float32)
+            out = adapt_fn(out, x, 2)
+        return state, out
+
+    @staticmethod
+    def _dist(a, b):
+        return float(
+            sum(
+                float(jnp.sum(jnp.abs(x - y)))
+                for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+            )
+        )
+
+    def test_prob_one_pins_to_source(self):
+        src, out = self._adapt(restore=1.0)
+        assert self._dist(src.params, out.params) == 0.0
+
+    def test_prob_zero_matches_disabled(self):
+        # the restore key splits off BEFORE (k_md, k_obj) so the disabled
+        # path's PRNG stream is untouched; with plain entropy loss the
+        # objective consumes no randomness, so prob=0 must be bit-identical
+        # to restore disabled
+        _, off = self._adapt(restore=None)
+        _, zero = self._adapt(restore=0.0)
+        assert self._dist(off.params, zero.params) == 0.0
+
+    def test_partial_restore_bounds_drift(self):
+        src, free = self._adapt(restore=None)
+        _, leaked = self._adapt(restore=0.7)
+        d_free = self._dist(src.params, free.params)
+        d_leak = self._dist(src.params, leaked.params)
+        assert d_free > 0.0
+        assert d_leak < d_free, (d_leak, d_free)
+
+    def test_continual_anchor_is_source_not_carried_state(self):
+        # over several continual batches with prob=1 every step ends at the
+        # source weights — the anchor is the original source model, not the
+        # previous batch's carried state
+        src, out = self._adapt(restore=1.0, episodic=False, batches=3)
+        assert self._dist(src.params, out.params) == 0.0
+
+
+class TestReliabilityGating:
+    """EATA-style per-sample entropy filter (tta.reliability): samples whose
+    self-normalized entropy exceeds margin_ratio * H_max are excluded from
+    the adaptation objective; the rest weighted exp(margin - e)."""
+
+    def test_weights_exclude_uncertain_and_boost_confident(self):
+        from multimodal_tta_tpu.tta.tent import reliability_weights
+
+        uncertain = np.zeros((4, 4, 4, 1), np.float32)          # p=0.5 -> e = ln2
+        confident = np.full((4, 4, 4, 1), 10.0, np.float32)     # e ~ 5e-4
+        logits = jnp.asarray(np.stack([uncertain, confident]))
+        w = np.asarray(reliability_weights(logits, sigmoid=True, margin_ratio=0.4))
+        assert w[0] == 0.0
+        assert w[1] > 1.0  # exp(margin - e) with e << margin
+
+    def test_weights_softmax_cap_is_log_c(self):
+        from multimodal_tta_tpu.tta.tent import reliability_weights
+
+        c = 5
+        uniform = np.zeros((4, 4, 4, c), np.float32)            # e = ln C
+        peaked = np.zeros((4, 4, 4, c), np.float32)
+        peaked[..., 0] = 12.0                                    # e ~ 0
+        logits = jnp.asarray(np.stack([uniform, peaked]))
+        w = np.asarray(reliability_weights(logits, sigmoid=False, margin_ratio=0.4))
+        assert w[0] == 0.0 and w[1] > 1.0
+
+    def test_margin_zero_gates_all_updates_off(self):
+        state = make_state()
+        tta = tent_cfg(steps=4, lr=0.5, momentum=0.0)
+        tta["reliability"] = {"enabled": True, "margin_ratio": 0.0}
+        cfg = full_cfg(tta=tta)
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+        adapt_fn = adapter.make_adapt_fn(state)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 16, 2), jnp.float32)
+        out = adapt_fn(state, x, 2)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(out.params), jax.tree_util.tree_leaves(state.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_generous_margin_matches_unfiltered_direction(self):
+        # with a margin far above any sample's entropy no sample is excluded;
+        # the exp(margin - e) weights rescale the objective but adaptation
+        # still moves the params
+        state = make_state()
+        tta = tent_cfg(steps=2, lr=1e-2)
+        tta["reliability"] = {"enabled": True, "margin_ratio": 10.0}
+        cfg = full_cfg(tta=tta)
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+        adapt_fn = adapter.make_adapt_fn(state)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 16, 2), jnp.float32)
+        out = adapt_fn(state, x, 2)
+        moved = sum(
+            float(jnp.sum(jnp.abs(a - b)))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(out.params),
+                jax.tree_util.tree_leaves(state.params),
+            )
+        )
+        assert moved > 0.0
