@@ -157,3 +157,18 @@ class TestStreamAdaptCLI:
         with open(os.path.join(run_dir, "tta_metrics.json")) as f:
             metrics = json.load(f)
         assert "gtvt_dc" in metrics["adapted"]
+
+    def test_cotta_method_runs(self, fixture_env):
+        """tta=cotta drives the EMA-teacher adapter through the full CLI:
+        registry dispatch, engine, metric schema."""
+        proc = run_cli(
+            "adapt.py",
+            common_overrides(fixture_env, "cli_cotta")
+            + ["tta=cotta", "tta.steps=1", "tta.n_views=1"],
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        base = os.path.join(fixture_env["root"], "outputs", "cli_cotta")
+        run_dir = os.path.join(base, sorted(os.listdir(base))[-1])
+        with open(os.path.join(run_dir, "tta_metrics.json")) as f:
+            metrics = json.load(f)
+        assert "gtvt_dc" in metrics["adapted"]

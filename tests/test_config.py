@@ -165,3 +165,12 @@ class TestComposerEdgeCases:
         cfg = compose(CONFIG_DIR, "config", ["tta=eata_gate", "hydra.job.chdir=false"])
         assert cfg.tta.reliability.enabled is True
         assert cfg.tta.reliability.margin_ratio == 0.4
+
+    def test_cotta_preset_composes(self):
+        cfg = compose(CONFIG_DIR, "config", ["tta=cotta", "hydra.job.chdir=false"])
+        assert cfg.tta.method == "cotta"
+        assert cfg.tta.ema == 0.999
+        assert cfg.tta.n_views == 2
+        assert cfg.tta.serve == "teacher"
+        assert cfg.tta.restore.enabled is True
+        assert cfg.tta.episodic is False

@@ -771,3 +771,155 @@ class TestReliabilityGating:
             )
         )
         assert moved > 0.0
+
+
+class TestCotta:
+    """CoTTA-style EMA-teacher adaptation (tta/cotta.py, method "cotta"):
+    student CE against aug-averaged stop-grad teacher pseudo-labels, teacher
+    EMA after each update, serve=teacher|student."""
+
+    def _adapter(self, state, *, sigmoid=True, **kw):
+        cfg_tta = tent_cfg(method="cotta", episodic=False, **kw)
+        cfg = full_cfg(tta=cfg_tta, sigmoid=sigmoid)
+        from multimodal_tta_tpu.tta import CottaAdapter
+
+        return CottaAdapter(cfg.tta, config=cfg, mesh=None)
+
+    @staticmethod
+    def _dist(a, b):
+        return float(
+            sum(
+                float(jnp.sum(jnp.abs(x - y)))
+                for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+            )
+        )
+
+    def test_registered(self):
+        from multimodal_tta_tpu.tta import CottaAdapter
+
+        assert get_tta_method("cotta") is CottaAdapter
+
+    def test_adapts_norm_params_only(self):
+        state = make_state()
+        adapter = self._adapter(state, steps=2, lr=1e-2)
+        adapt_fn = adapter.make_adapt_fn(state)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 16, 2), jnp.float32)
+        out = adapt_fn(state, x, 2)
+        mask = norm_param_mask(state.params)
+        moved = unmoved = 0.0
+        for m, a, b in zip(
+            jax.tree_util.tree_leaves(mask),
+            jax.tree_util.tree_leaves(out.params),
+            jax.tree_util.tree_leaves(state.params),
+        ):
+            d = float(jnp.sum(jnp.abs(a - b)))
+            if m:
+                moved += d
+            else:
+                unmoved += d
+        assert moved > 0.0
+        assert unmoved == 0.0
+
+    def test_teacher_ema_one_keeps_teacher_at_source(self):
+        """ema=1.0: the teacher never moves, so serve=teacher predictions
+        equal the SOURCE model's predictions regardless of adaptation."""
+        state = make_state()
+        adapter = self._adapter(state, steps=3, lr=0.5, ema=1.0, n_views=1)
+        ap = adapter.make_adapt_predict_fn(state, threshold=0.5, predict_mode="post")
+        x = jnp.asarray(np.random.RandomState(1).randn(2, 16, 16, 16, 2), jnp.float32)
+        _, pred = ap(state, x, 2)
+        src_logits = state.apply_fn({"params": state.params}, x, train=False)
+        src_pred = (jax.nn.sigmoid(src_logits) >= 0.5).astype(jnp.uint8)
+        np.testing.assert_array_equal(np.asarray(pred), np.asarray(src_pred))
+        assert self._dist(adapter._teacher, adapter.trainable_subtree(state.params)) == 0.0
+
+    def test_teacher_ema_zero_tracks_student(self):
+        state = make_state()
+        adapter = self._adapter(state, steps=2, lr=0.1, ema=0.0, n_views=1)
+        adapt_fn = adapter.make_adapt_fn(state)
+        x = jnp.asarray(np.random.RandomState(2).randn(2, 16, 16, 16, 2), jnp.float32)
+        out = adapt_fn(state, x, 2)
+        assert self._dist(adapter._teacher, adapter.trainable_subtree(out.params)) == 0.0
+
+    def test_teacher_carries_continual_and_resets_on_reanchor(self):
+        state = make_state()
+        adapter = self._adapter(state, steps=2, lr=0.1, ema=0.5, n_views=1)
+        adapt_fn = adapter.make_adapt_fn(state)
+        x = jnp.asarray(np.random.RandomState(3).randn(2, 16, 16, 16, 2), jnp.float32)
+        adapt_fn(state, x, 2)
+        src_t = adapter.trainable_subtree(state.params)
+        assert self._dist(adapter._teacher, src_t) > 0.0
+        adapter.reset_optimizer()
+        assert self._dist(adapter._teacher, src_t) == 0.0
+
+    def test_softmax_mode_pseudo_ce(self):
+        state = make_state(n_cls=3)
+        adapter = self._adapter(state, sigmoid=False, steps=2, lr=1e-2, n_views=2)
+        ap = adapter.make_adapt_predict_fn(state, threshold=0.5, predict_mode="inline")
+        x = jnp.asarray(np.random.RandomState(4).randn(2, 16, 16, 16, 2), jnp.float32)
+        out, pred = ap(state, x, 2)
+        assert pred.shape == (2, 16, 16, 16, 1)
+        assert int(jnp.max(pred)) <= 2
+        assert adapter.last_entropy is not None
+
+    def test_serve_switch_picks_the_right_model(self):
+        """Poison the carried teacher subtree: serve=teacher must reflect the
+        poisoned teacher, serve=student (lr=0, student pinned at source) must
+        keep serving the source prediction. Tests the serve plumbing without
+        relying on training dynamics (the CE objective pulls the student
+        TOWARD the teacher, so divergence-based checks can't discriminate)."""
+        state = make_state()
+        x = jnp.asarray(np.random.RandomState(5).randn(2, 16, 16, 16, 2), jnp.float32)
+        src_logits = state.apply_fn({"params": state.params}, x, train=False)
+        src_pred = np.asarray((jax.nn.sigmoid(src_logits) >= 0.5).astype(jnp.uint8))
+        preds = {}
+        for serve in ("teacher", "student"):
+            adapter = self._adapter(
+                state, steps=1, lr=0.0, momentum=0.0, ema=1.0, n_views=1, serve=serve
+            )
+            ap = adapter.make_adapt_predict_fn(state, threshold=0.5, predict_mode="post")
+            adapter._teacher = jax.tree_util.tree_map(
+                lambda t: -5.0 * t + 3.0, adapter._teacher
+            )
+            _, pred = ap(state, x, 2)
+            preds[serve] = np.asarray(pred)
+        np.testing.assert_array_equal(preds["student"], src_pred)
+        assert (preds["teacher"] != src_pred).any()
+
+    def test_restore_composes(self):
+        state = make_state()
+        adapter = self._adapter(state, steps=3, lr=0.5, n_views=1)
+        free_fn = adapter.make_adapt_fn(state)
+        x = jnp.asarray(np.random.RandomState(6).randn(2, 16, 16, 16, 2), jnp.float32)
+        free = free_fn(state, x, 2)
+        pinned_adapter = self._adapter(
+            state, steps=3, lr=0.5, n_views=1, restore={"enabled": True, "prob": 1.0}
+        )
+        pinned = pinned_adapter.make_adapt_fn(state)(state, x, 2)
+        assert self._dist(state.params, free.params) > 0.0
+        assert self._dist(state.params, pinned.params) == 0.0
+
+    def test_incompatible_knobs_raise(self):
+        state = make_state()
+        with pytest.raises(ValueError, match="window"):
+            self._adapter(state, window={"enabled": True})
+        with pytest.raises(ValueError, match="early_stop"):
+            self._adapter(state, early_stop={"enabled": True})
+        with pytest.raises(ValueError, match="reliability"):
+            self._adapter(state, reliability={"enabled": True})
+        with pytest.raises(ValueError, match="serve"):
+            self._adapter(state, serve="oracle")
+
+    def test_stream_controller_accepts_cotta(self):
+        from multimodal_tta_tpu.tta import StreamTTAController
+
+        state = make_state()
+        adapter = self._adapter(state, steps=1, lr=1e-2, n_views=1)
+        ctl = StreamTTAController(
+            adapter, state, threshold=0.5, policy="continual", guard=True,
+            entropy_floor_ratio=0.2,
+        )
+        x = np.random.RandomState(7).randn(2, 16, 16, 16, 2).astype(np.float32)
+        pred, info = ctl.step(x, 2, domain="A")
+        assert pred.shape == (2, 16, 16, 16, 1)
+        assert info["entropy_final"] is not None  # watchdog signal flows
