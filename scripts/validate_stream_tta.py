@@ -125,15 +125,20 @@ def stream_batches(manager):
 
 def run_policy(manager, cfg, device_transform, *, policy, guard, steps, lr,
                threshold=0.3, floor_ratio=0.2, early_stop_ratio=None,
-               restore_prob=None, rel_margin=None):
+               restore_prob=None, rel_margin=None, method="tent",
+               ema=0.999, n_views=2):
     """One pass over the ordered stream under one controller config."""
     from multimodal_tta_tpu.conf import ConfigNode
-    from multimodal_tta_tpu.tta import StreamTTAController, TentAdapter
+    from multimodal_tta_tpu.registry import get_tta_method
+    from multimodal_tta_tpu.tta import StreamTTAController
     from multimodal_tta_tpu.tta.stream import evaluate_stream
 
-    node = {"method": "tent", "steps": steps, "lr": lr, "optimizer": "sgd",
+    node = {"method": method, "steps": steps, "lr": lr, "optimizer": "sgd",
             "momentum": 0.9, "update": "norm", "episodic": False,
             "entropy_focus": "uncertain"}
+    if method == "cotta":
+        node.update({"ema": ema, "n_views": n_views, "serve": "teacher"})
+        del node["entropy_focus"]  # cotta's objective is teacher CE
     if early_stop_ratio is not None:
         node["early_stop"] = {"enabled": True, "entropy_floor_ratio": early_stop_ratio}
     if restore_prob is not None:
@@ -141,8 +146,8 @@ def run_policy(manager, cfg, device_transform, *, policy, guard, steps, lr,
     if rel_margin is not None:
         node["reliability"] = {"enabled": True, "margin_ratio": rel_margin}
     tta_cfg = ConfigNode(node)
-    adapter = TentAdapter(tta_cfg, config=cfg, mesh=manager.mesh,
-                          device_transform=device_transform)
+    adapter = get_tta_method(method)(tta_cfg, config=cfg, mesh=manager.mesh,
+                                     device_transform=device_transform)
     ctrl = StreamTTAController(
         adapter, manager.state, threshold=threshold, policy=policy,
         guard=guard, entropy_floor_ratio=floor_ratio, predict_mode="inline",
@@ -150,6 +155,9 @@ def run_policy(manager, cfg, device_transform, *, policy, guard, steps, lr,
     with manager.mesh:
         row = evaluate_stream(ctrl, stream_batches(manager))
     row.update({"steps": steps, "lr": lr})
+    if method != "tent":
+        row["policy"] = f"{method}:{row['policy']}"
+        row["ema"] = ema
     if guard:
         row["floor"] = floor_ratio
     if early_stop_ratio is not None:
@@ -285,6 +293,18 @@ def main() -> None:
                     restore_prob=0.01, **op))
     emit(run_policy(manager, cfg, device_transform, policy="continual", guard=True,
                     rel_margin=0.4, **op))
+    # CoTTA EMA-teacher (method cotta): the teacher's slow-moving
+    # pseudo-labels are a structural collapse defense — the objective chases
+    # the EMA model, not a degenerate entropy minimum. Full recipe =
+    # teacher + stochastic restore.
+    emit(run_policy(manager, cfg, device_transform, policy="continual", guard=False,
+                    method="cotta", **op))
+    emit(run_policy(manager, cfg, device_transform, policy="continual", guard=False,
+                    method="cotta", restore_prob=0.01, **op))
+    emit(run_policy(manager, cfg, device_transform, policy="continual", guard=False,
+                    method="cotta", **cl))
+    emit(run_policy(manager, cfg, device_transform, policy="continual", guard=False,
+                    method="cotta", restore_prob=0.01, **cl))
 
     no_adapt = rows[0]["avg_dc"]
     cl_rows = [r for r in rows if r.get("steps") == args.collapse_steps]
