@@ -296,15 +296,16 @@ def main() -> None:
     # CoTTA EMA-teacher (method cotta): the teacher's slow-moving
     # pseudo-labels are a structural collapse defense — the objective chases
     # the EMA model, not a degenerate entropy minimum. Full recipe =
-    # teacher + stochastic restore.
+    # teacher + stochastic restore. n_views=1 (clean-view teacher): at batch
+    # 8 whole-volume [48,144,144] the views=2 recipe's second teacher
+    # forward OOMs one v5e chip by 4.46M (measured r3); views=1 keeps the
+    # stream identical to the tent rows.
     emit(run_policy(manager, cfg, device_transform, policy="continual", guard=False,
-                    method="cotta", **op))
+                    method="cotta", n_views=1, **op))
     emit(run_policy(manager, cfg, device_transform, policy="continual", guard=False,
-                    method="cotta", restore_prob=0.01, **op))
+                    method="cotta", n_views=1, **cl))
     emit(run_policy(manager, cfg, device_transform, policy="continual", guard=False,
-                    method="cotta", **cl))
-    emit(run_policy(manager, cfg, device_transform, policy="continual", guard=False,
-                    method="cotta", restore_prob=0.01, **cl))
+                    method="cotta", n_views=1, restore_prob=0.01, **cl))
 
     no_adapt = rows[0]["avg_dc"]
     cl_rows = [r for r in rows if r.get("steps") == args.collapse_steps]

@@ -209,3 +209,78 @@ class TestStreamAnchoredEarlyStop:
             braked[-1], e0,
         )
         assert braked[-1]["entropy_final"] > free[-1]["entropy_final"]
+
+
+class TestStreamOverMesh:
+    """Pod-scale streaming (BASELINE measurement plan #5 stretch): the
+    controller serving an ordered stream on a data-sharded device mesh. The
+    adapted trajectory must match the single-device controller — same
+    watchdog decisions, same predictions — with the batch entering sharded
+    over the mesh data axis (gradient/statistic all-reduce over ICI in the
+    adapt scan) and odd batches padded to the axis size."""
+
+    def _run(self, mesh, n_batches=3, policy="continual", guard=True, b=2):
+        from multimodal_tta_tpu.conf import ConfigNode
+        from multimodal_tta_tpu.tta import TentAdapter
+
+        state = _state()
+        cfg = ConfigNode(
+            {
+                "task": {"seed": 0},
+                "training": {"criterion": {"sigmoid": True}},
+                "tta": {
+                    "method": "tent",
+                    "steps": 2,
+                    "lr": 1e-2,
+                    "optimizer": "sgd",
+                    "momentum": 0.9,
+                    "update": "norm",
+                    "episodic": False,
+                    "entropy_focus": "all",
+                },
+            }
+        )
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=mesh)
+        ctrl = StreamTTAController(
+            adapter, state, threshold=0.5, policy=policy, guard=guard,
+            entropy_floor_ratio=0.2,
+        )
+        preds, infos = [], []
+        for i in range(n_batches):
+            domain = "A" if i < n_batches // 2 else "B"
+            pred, info = ctrl.step(_batch(seed=i, b=b), b, domain=domain)
+            preds.append(np.asarray(pred)[:b])
+            infos.append(info)
+        return preds, infos, ctrl
+
+    def test_mesh_stream_matches_single_device(self):
+        from multimodal_tta_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()  # 8-device data mesh (CPU-simulated)
+        p_mesh, i_mesh, c_mesh = self._run(mesh)
+        p_one, i_one, c_one = self._run(None)
+        assert c_mesh.n_reanchors == c_one.n_reanchors
+        for a, b_, ia, ib in zip(p_mesh, p_one, i_mesh, i_one):
+            np.testing.assert_array_equal(a, b_)
+            np.testing.assert_allclose(
+                ia["entropy_final"], ib["entropy_final"], atol=1e-5
+            )
+
+    def test_mesh_stream_data_space_axes(self):
+        """The serving mesh can also shard space (data=4, space=2) — the
+        stream still runs and matches the pure-data layout."""
+        from multimodal_tta_tpu.parallel.mesh import make_mesh
+
+        p_ds, _, _ = self._run(make_mesh(data=4, space=2), b=4)
+        p_d, _, _ = self._run(make_mesh(), b=4)
+        for a, b_ in zip(p_ds, p_d):
+            np.testing.assert_array_equal(a, b_)
+
+    def test_mesh_pads_odd_batches(self):
+        """Batch 3 on an 8-way data axis: the controller pads to 8 and
+        n_valid masks the padding out of the objective."""
+        from multimodal_tta_tpu.parallel.mesh import make_mesh
+
+        p, infos, _ = self._run(make_mesh(), n_batches=2, b=3)
+        assert all(x.shape[0] == 3 for x in p)
+        assert all(np.isfinite(i["entropy_final"]) for i in infos)
