@@ -100,8 +100,7 @@ def build_adapter_state(predict_mode: str = "post", episodic: bool = True):
 
     from multimodal_tta_tpu.conf import ConfigNode
     from multimodal_tta_tpu.core.train_state import TrainState
-    from multimodal_tta_tpu.registry import get_model
-    from multimodal_tta_tpu.tta import TentAdapter
+    from multimodal_tta_tpu.registry import get_model, get_tta_method
 
     # BENCH_MODEL=unet_ws benches the validated speed/quality trade
     # (space-to-depth stem, 2.14x faster forward at -0.02 val Dice —
@@ -127,22 +126,31 @@ def build_adapter_state(predict_mode: str = "post", episodic: bool = True):
         tx=optax.identity(),
     )
 
+    # BENCH_TTA_METHOD=cotta measures the EMA-teacher serving path (off the
+    # driver's default output; tent stays the headline protocol)
+    method = os.environ.get("BENCH_TTA_METHOD", "tent")
+    tta_node = {
+        "method": method,
+        "steps": 1,
+        "lr": 1e-3,
+        "optimizer": "sgd",
+        "momentum": 0.9,
+        "update": "norm",
+        "episodic": bool(episodic),
+    }
+    if method == "cotta":
+        tta_node.update({"ema": 0.999, "n_views": int(os.environ.get("BENCH_COTTA_VIEWS", "1")),
+                         "serve": "teacher"})
     cfg = ConfigNode(
         {
             "task": {"seed": 0},
             "training": {"criterion": {"sigmoid": True}},
-            "tta": {
-                "method": "tent",
-                "steps": 1,
-                "lr": 1e-3,
-                "optimizer": "sgd",
-                "momentum": 0.9,
-                "update": "norm",
-                "episodic": bool(episodic),
-            },
+            "tta": tta_node,
         }
     )
-    adapter = TentAdapter(cfg.tta, config=cfg, mesh=None, device_transform=DEVICE_TRANSFORM)
+    adapter = get_tta_method(method)(
+        cfg.tta, config=cfg, mesh=None, device_transform=DEVICE_TRANSFORM
+    )
     # adapt + segment fused into ONE jitted dispatch (threshold 0.3, the
     # HECKTOR eval threshold)
     adapt_predict = adapter.make_adapt_predict_fn(state, threshold=0.3, predict_mode=predict_mode)

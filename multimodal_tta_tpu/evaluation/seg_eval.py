@@ -133,6 +133,20 @@ class SegmentationEvaluationStrategy:
         self.sw_overlap = float(get_config(sw_cfg, "overlap", 0.25))
         self.sw_mode = str(get_config(sw_cfg, "mode", "gaussian"))
 
+        # Flip-averaged test-time augmentation (ops/flip_tta.py): average
+        # probabilities over every spatial mirror combination — 2^k forwards
+        # per batch for a small free robustness gain. NDHWC spatial axes are
+        # 1 (D), 2 (H), 3 (W). The reference has no TTA-augmentation path
+        # (one plain forward, reference seg_eval.py:300).
+        ft_cfg = get_config(self.config, "evaluation.flip_tta", ConfigNode())
+        self.flip_enable = bool(get_config(ft_cfg, "enable", False))
+        self.flip_axes = tuple(int(a) for a in get_config(ft_cfg, "axes", [1, 2, 3]))
+        if self.flip_enable and not all(1 <= a <= 3 for a in self.flip_axes):
+            raise ValueError(
+                f"[SegEval] evaluation.flip_tta.axes must be spatial (1..3 "
+                f"in NDHWC), got {list(self.flip_axes)}"
+            )
+
         crit_cfg = get_config(self.config, "training.criterion", ConfigNode())
         # Eval loss mirrors training config but always sigmoid (reference:
         # seg_eval.py:209-220 builds DiceCELoss with sigmoid=True).
@@ -188,6 +202,7 @@ class SegmentationEvaluationStrategy:
 
         sw_enable = self.sw_enable
         sw_roi, sw_overlap, sw_mode = self.sw_roi, self.sw_overlap, self.sw_mode
+        flip_enable, flip_axes = self.flip_enable, self.flip_axes
         n_regions = len(self.region_order)
         norm_fn = self._norm_fn
 
@@ -199,21 +214,34 @@ class SegmentationEvaluationStrategy:
             variables = {"params": state.params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
+
             if sw_enable:
                 from ..ops.sliding_window import sliding_window_inference
 
-                logits = sliding_window_inference(
-                    lambda w: state.apply_fn(variables, w, train=False),
-                    image,
-                    sw_roi,
-                    num_classes=n_regions,
-                    overlap=sw_overlap,
-                    mode=sw_mode,
+                def forward(x):
+                    return sliding_window_inference(
+                        lambda w: state.apply_fn(variables, w, train=False),
+                        x,
+                        sw_roi,
+                        num_classes=n_regions,
+                        overlap=sw_overlap,
+                        mode=sw_mode,
+                    )
+
+            else:
+
+                def forward(x):
+                    return state.apply_fn(variables, x, train=False)
+
+            if flip_enable:
+                from ..ops.flip_tta import flip_averaged_probs
+
+                logits, prob = flip_averaged_probs(
+                    forward, image, flip_axes, jax.nn.sigmoid
                 )
             else:
-                logits = state.apply_fn(variables, image, train=False)
-
-            prob = jax.nn.sigmoid(logits)
+                logits = forward(image)
+                prob = jax.nn.sigmoid(logits)
             pred = (prob >= threshold).astype(jnp.float32)
             gt = (label.astype(jnp.float32) > 0.5).astype(jnp.float32)
 
