@@ -48,6 +48,7 @@ import jax.numpy as jnp
 import optax
 
 from ..ops.augment import modality_dropout, rand_intensity_scale_shift
+from ..ops.flip_tta import flip_combos
 from ..ops.losses import entropy_loss
 from ..parallel.mesh import batch_sharding, replicated
 from ..registry import register_tta_method
@@ -72,6 +73,15 @@ class CottaAdapter(TentAdapter):
         self.n_views = int(get_config(self.cfg, "n_views", 2))
         self.aug_scale = float(get_config(self.cfg, "aug_scale", 0.1))
         self.aug_shift = float(get_config(self.cfg, "aug_shift", 0.1))
+        # the aug family must produce views the model can actually disagree
+        # on: for InstanceNorm models an affine intensity jitter alone is
+        # REMOVED by the normalization (measured: views=2 scale/shift-only
+        # adaptation was ~inert on the stream fixture), so augmented views
+        # additionally get a mirror flip (cycled deterministically through
+        # the spatial-axis subsets; exactly inverted in probability space —
+        # the ops/flip_tta.py mechanism) and additive gaussian noise.
+        self.aug_noise = float(get_config(self.cfg, "aug_noise", 0.05))
+        self.aug_flip = bool(get_config(self.cfg, "aug_flip", True))
         self.serve = str(get_config(self.cfg, "serve", "teacher")).lower()
         if self.serve not in ("teacher", "student"):
             raise ValueError(f"[cotta] unknown serve mode: {self.serve}")
@@ -102,6 +112,18 @@ class CottaAdapter(TentAdapter):
                 "[cotta] tta.reliability gates the entropy objective; with "
                 "teacher pseudo-labels use a smaller lr or tta.restore"
             )
+        if self.n_views == 1 and not self.md_enabled:
+            # measured on the stream fixture (BASELINE.md): every
+            # views=1-no-dropout config served no-adapt Dice at any
+            # ema/steps/lr — this is structural, not a tuning issue
+            self.logger.warning(
+                "[cotta] n_views=1 with no modality_dropout: student and "
+                "teacher see the SAME clean input, and the CE objective has "
+                "an exact fixed point at student == teacher (dCE/dlogit = "
+                "sigmoid(l) - p = 0), so adaptation is ~inert. The "
+                "augmented-view asymmetry IS the adaptation force — use "
+                "n_views >= 2 (or enable tta.modality_dropout)"
+            )
         self.logger.info(
             f"[cotta] EMA-teacher pseudo-labeling (ema={self.ema}, "
             f"views={self.n_views}, serve={self.serve}) — objective is "
@@ -131,6 +153,8 @@ class CottaAdapter(TentAdapter):
         n_views = self.n_views
         aug_scale = self.aug_scale
         aug_shift = self.aug_shift
+        aug_noise = self.aug_noise
+        aug_flip = self.aug_flip
         serve_teacher = self.serve == "teacher"
         restore_enabled = self.restore_enabled
         restore_prob = self.restore_prob
@@ -173,14 +197,37 @@ class CottaAdapter(TentAdapter):
                 return jax.nn.sigmoid(logits) if sigmoid_mode else jax.nn.softmax(logits, axis=-1)
 
             def pseudo_labels(teacher_t, bs, key):
-                """Aug-averaged teacher probabilities (view 0 clean)."""
+                """Aug-averaged teacher probabilities (view 0 clean).
+
+                Each augmented view stacks intensity scale/shift, additive
+                gaussian noise, and (cycling deterministically through the
+                non-empty spatial mirror subsets) a flip that is inverted
+                exactly in probability space — flips/noise survive the
+                model's InstanceNorm where a pure affine jitter is removed
+                by it, so the views can actually disagree.
+                """
                 p = probs(forward_teacher(teacher_t, bs, image))
                 if n_views > 1:
-                    for k in jax.random.split(key, n_views - 1):
+                    spatial = tuple(range(1, image.ndim - 1))
+                    combos = flip_combos(spatial)[1:] if aug_flip else ()
+                    for i, k in enumerate(jax.random.split(key, n_views - 1)):
+                        k_int, k_noise = jax.random.split(k)
                         xv = rand_intensity_scale_shift(
-                            k, image, scale=aug_scale, shift=aug_shift, prob=1.0
+                            k_int, image, scale=aug_scale, shift=aug_shift, prob=1.0
                         )
-                        p = p + probs(forward_teacher(teacher_t, bs, xv))
+                        if aug_noise > 0.0:
+                            xv = xv + aug_noise * jax.random.normal(
+                                k_noise, xv.shape, xv.dtype
+                            )
+                        if combos:
+                            combo = combos[i % len(combos)]
+                            pv = probs(
+                                forward_teacher(teacher_t, bs, jnp.flip(xv, axis=combo))
+                            )
+                            pv = jnp.flip(pv, axis=combo)
+                        else:
+                            pv = probs(forward_teacher(teacher_t, bs, xv))
+                        p = p + pv
                     p = p / float(n_views)
                 return jax.lax.stop_gradient(p)
 

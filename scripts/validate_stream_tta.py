@@ -82,7 +82,7 @@ def ensure_fixture(root: str, shape=(144, 144, 48), per_center: int = 16) -> str
 
 
 def train_source(manifest: str, epochs: int, out_root: str, resume=None,
-                 shape=(144, 144, 48)):
+                 shape=(144, 144, 48), eval_batch_size=8):
     from _validate_common import bring_up
 
     x, y, z = shape
@@ -98,7 +98,7 @@ def train_source(manifest: str, epochs: int, out_root: str, resume=None,
         "dataset.cache_in_memory=true",
         f"training.epochs={epochs}",
         "training.batch_size=8",
-        "training.eval_batch_size=8",
+        f"training.eval_batch_size={eval_batch_size}",
         "training.num_workers=8",
         "training.device_cache=true",
         "training.optimizer=adam",
@@ -296,16 +296,20 @@ def main() -> None:
     # CoTTA EMA-teacher (method cotta): the teacher's slow-moving
     # pseudo-labels are a structural collapse defense — the objective chases
     # the EMA model, not a degenerate entropy minimum. Full recipe =
-    # teacher + stochastic restore. n_views=1 (clean-view teacher): at batch
-    # 8 whole-volume [48,144,144] the views=2 recipe's second teacher
-    # forward OOMs one v5e chip by 4.46M (measured r3); views=1 keeps the
-    # stream identical to the tent rows.
+    # teacher + stochastic restore. n_views=2 with the flip+noise view
+    # family: views=1 (clean-view teacher) is a structural fixed point
+    # (student == teacher ⇒ zero CE gradient — tests/test_tta.py::
+    # TestCotta::test_views1_clean_is_a_fixed_point), and affine-only views
+    # are cancelled by InstanceNorm. Measured r3: views=2 steps=4 fits one
+    # v5e chip at whole-volume batch 8 (1.92 s/batch) — the earlier
+    # scale/shift-only recipe's 4.46M OOM does not reproduce with the
+    # flip-based views.
     emit(run_policy(manager, cfg, device_transform, policy="continual", guard=False,
-                    method="cotta", n_views=1, **op))
+                    method="cotta", n_views=2, **op))
     emit(run_policy(manager, cfg, device_transform, policy="continual", guard=False,
-                    method="cotta", n_views=1, **cl))
+                    method="cotta", n_views=2, **cl))
     emit(run_policy(manager, cfg, device_transform, policy="continual", guard=False,
-                    method="cotta", n_views=1, restore_prob=0.01, **cl))
+                    method="cotta", n_views=2, restore_prob=0.01, **cl))
 
     no_adapt = rows[0]["avg_dc"]
     cl_rows = [r for r in rows if r.get("steps") == args.collapse_steps]

@@ -800,8 +800,10 @@ class TestCotta:
         assert get_tta_method("cotta") is CottaAdapter
 
     def test_adapts_norm_params_only(self):
+        # n_views=2: the aug-view asymmetry is the adaptation force (see
+        # test_views1_clean_is_a_fixed_point)
         state = make_state()
-        adapter = self._adapter(state, steps=2, lr=1e-2)
+        adapter = self._adapter(state, steps=2, lr=1e-2, n_views=2)
         adapt_fn = adapter.make_adapt_fn(state)
         x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 16, 2), jnp.float32)
         out = adapt_fn(state, x, 2)
@@ -817,8 +819,45 @@ class TestCotta:
                 moved += d
             else:
                 unmoved += d
-        assert moved > 0.0
+        assert moved > 1e-4
         assert unmoved == 0.0
+
+    def test_views1_clean_is_a_fixed_point(self):
+        """n_views=1, no dropout: student and teacher see the same input and
+        dCE/dlogit = sigmoid(l) - p vanishes at student == teacher, so from
+        source init the update is ~zero (float-rounding jitter only) even at
+        a large lr. Measured on the stream fixture: every such config served
+        no-adapt Dice — the adapter warns about it."""
+        state = make_state()
+        free = self._adapter(state, steps=4, lr=0.5, n_views=1)
+        out = free.make_adapt_fn(state)(
+            state, jnp.asarray(np.random.RandomState(8).randn(2, 16, 16, 16, 2), jnp.float32), 2
+        )
+        drift = self._dist(state.params, out.params)
+        assert drift < 1e-3, drift  # vs O(1) movement when views>=2 at this lr
+
+    def test_affine_only_views_are_inert_under_instance_norm(self):
+        """InstanceNorm removes a per-volume affine jitter, so views built
+        from scale/shift ALONE (aug_flip=false, aug_noise=0) agree with the
+        clean view and adaptation stalls — exactly the measured stream-
+        fixture failure. The default flip+noise views break the symmetry."""
+        state = make_state(norm="INSTANCE")
+        x = jnp.asarray(np.random.RandomState(3).randn(2, 16, 16, 16, 2), jnp.float32)
+        affine = self._adapter(
+            state, steps=2, lr=1e-2, n_views=2, aug_flip=False, aug_noise=0.0
+        )
+        drift_affine = self._dist(
+            state.params, affine.make_adapt_fn(state)(state, x, 2).params
+        )
+        full = self._adapter(state, steps=2, lr=1e-2, n_views=2)
+        drift_full = self._dist(
+            state.params, full.make_adapt_fn(state)(state, x, 2).params
+        )
+        # not exactly zero — the stem conv mixes channels before the first
+        # norm, so a per-channel jitter isn't perfectly cancelled — but two
+        # orders below the flip+noise drive
+        assert drift_affine < 1e-3, drift_affine
+        assert drift_full > 10.0 * max(drift_affine, 1e-6), (drift_full, drift_affine)
 
     def test_teacher_ema_one_keeps_teacher_at_source(self):
         """ema=1.0: the teacher never moves, so serve=teacher predictions
