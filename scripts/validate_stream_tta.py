@@ -126,7 +126,7 @@ def stream_batches(manager):
 def run_policy(manager, cfg, device_transform, *, policy, guard, steps, lr,
                threshold=0.3, floor_ratio=0.2, early_stop_ratio=None,
                restore_prob=None, rel_margin=None, method="tent",
-               ema=0.999, n_views=2):
+               ema=0.999, n_views=2, node_extra=None):
     """One pass over the ordered stream under one controller config."""
     from multimodal_tta_tpu.conf import ConfigNode
     from multimodal_tta_tpu.registry import get_tta_method
@@ -139,6 +139,8 @@ def run_policy(manager, cfg, device_transform, *, policy, guard, steps, lr,
     if method == "cotta":
         node.update({"ema": ema, "n_views": n_views, "serve": "teacher"})
         del node["entropy_focus"]  # cotta's objective is teacher CE
+    if node_extra:
+        node.update(node_extra)
     if early_stop_ratio is not None:
         node["early_stop"] = {"enabled": True, "entropy_floor_ratio": early_stop_ratio}
     if restore_prob is not None:
@@ -310,6 +312,15 @@ def main() -> None:
                     method="cotta", n_views=2, **cl))
     emit(run_policy(manager, cfg, device_transform, policy="continual", guard=False,
                     method="cotta", n_views=2, restore_prob=0.01, **cl))
+
+    # SAR (tta/sar.py): sharpness-aware steps + in-scan recovery resets. The
+    # reliable filter (margin 0.4*H_max, the paper's constant) skips batches
+    # the source model is too uncertain on; the recovery EMA is the built-in
+    # collapse defense — measured here against the same two regimes
+    emit(run_policy(manager, cfg, device_transform, policy="continual", guard=False,
+                    method="sar", **op))
+    emit(run_policy(manager, cfg, device_transform, policy="continual", guard=False,
+                    method="sar", **cl))
 
     no_adapt = rows[0]["avg_dc"]
     cl_rows = [r for r in rows if r.get("steps") == args.collapse_steps]

@@ -962,3 +962,136 @@ class TestCotta:
         pred, info = ctl.step(x, 2, domain="A")
         assert pred.shape == (2, 16, 16, 16, 1)
         assert info["entropy_final"] is not None  # watchdog signal flows
+
+
+class TestSar:
+    """SAR sharpness-aware adaptation (tta/sar.py, method "sar"): reliable
+    filter, SAM two-gradient step, in-scan recovery reset to source."""
+
+    def _adapter(self, state, *, sigmoid=True, **kw):
+        cfg_tta = tent_cfg(method="sar", episodic=False, **kw)
+        cfg = full_cfg(tta=cfg_tta, sigmoid=sigmoid)
+        from multimodal_tta_tpu.tta import SarAdapter
+
+        return SarAdapter(cfg.tta, config=cfg, mesh=None)
+
+    @staticmethod
+    def _dist(a, b):
+        return float(
+            sum(
+                float(jnp.sum(jnp.abs(x - y)))
+                for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+            )
+        )
+
+    def test_registered(self):
+        from multimodal_tta_tpu.tta import SarAdapter
+
+        assert get_tta_method("sar") is SarAdapter
+
+    def test_adapts_norm_params_only(self):
+        state = make_state()
+        adapter = self._adapter(state, steps=2, lr=1e-2, entropy_focus="uncertain",
+                                margin_ratio=1.0)  # random-init predictions are
+        # maximally uncertain; the reliable filter would (correctly) skip them
+        adapt_fn = adapter.make_adapt_fn(state)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 16, 2), jnp.float32)
+        out = adapt_fn(state, x, 2)
+        mask = norm_param_mask(state.params)
+        moved = unmoved = 0.0
+        for m, a, b in zip(
+            jax.tree_util.tree_leaves(mask),
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(out.params),
+        ):
+            d = float(jnp.sum(jnp.abs(a - b)))
+            if m:
+                moved += d
+            else:
+                unmoved += d
+        assert moved > 1e-5
+        assert unmoved == 0.0
+
+    def test_margin_zero_filters_everything(self):
+        """margin_ratio=0: every sample fails the reliable filter, the
+        objective is identically zero, and no parameter moves."""
+        state = make_state()
+        adapter = self._adapter(state, steps=3, lr=0.5, margin_ratio=0.0,
+                                reset_floor_ratio=0.0)
+        adapt_fn = adapter.make_adapt_fn(state)
+        x = jnp.asarray(np.random.RandomState(1).randn(2, 16, 16, 16, 2), jnp.float32)
+        out = adapt_fn(state, x, 2)
+        assert self._dist(state.params, out.params) == 0.0
+
+    def test_recovery_reset_pins_params_at_source(self):
+        """reset_floor_ratio=1.0: the EMA entropy is always below H_max, so
+        every step's update is immediately snapped back to source — the
+        recovery scheme in its always-on limit."""
+        state = make_state()
+        free = self._adapter(state, steps=3, lr=0.5, entropy_focus="uncertain",
+                             margin_ratio=1.0, reset_floor_ratio=0.0)
+        pinned = self._adapter(state, steps=3, lr=0.5, entropy_focus="uncertain",
+                               margin_ratio=1.0, reset_floor_ratio=1.0)
+        x = jnp.asarray(np.random.RandomState(2).randn(2, 16, 16, 16, 2), jnp.float32)
+        drift_free = self._dist(state.params, free.make_adapt_fn(state)(state, x, 2).params)
+        drift_pinned = self._dist(state.params, pinned.make_adapt_fn(state)(state, x, 2).params)
+        assert drift_free > 1e-5
+        assert drift_pinned == 0.0
+
+    def test_em_carries_across_batches_in_continual(self):
+        state = make_state()
+        adapter = self._adapter(state, steps=2, lr=1e-3, entropy_focus="uncertain",
+                                reset_floor_ratio=0.0)
+        adapt_fn = adapter.make_adapt_fn(state)
+        x = jnp.asarray(np.random.RandomState(3).randn(2, 16, 16, 16, 2), jnp.float32)
+        st = adapt_fn(state, x, 2)
+        em1 = float(adapter._em)
+        assert not np.isnan(em1)  # EMA live after batch 1
+        adapt_fn(st, x, 2)
+        em2 = float(adapter._em)
+        assert not np.isnan(em2)
+        adapter.reset_optimizer()
+        assert np.isnan(float(adapter._em))  # re-anchor clears the EMA
+
+    def test_adapt_predict_inline(self):
+        state = make_state()
+        adapter = self._adapter(state, steps=2, lr=1e-2, predict="inline",
+                                entropy_focus="uncertain")
+        fn = adapter.make_adapt_predict_fn(state, threshold=0.5)
+        x = jnp.asarray(np.random.RandomState(4).randn(2, 16, 16, 16, 2), jnp.float32)
+        st, pred = fn(state, x, 2)
+        assert pred.shape == (2, 16, 16, 16, 1)
+        assert pred.dtype == jnp.uint8
+        assert adapter.last_entropy is not None
+
+    def test_incompatible_knobs_raise(self):
+        state = make_state()
+        with pytest.raises(ValueError, match="window"):
+            self._adapter(state, window={"enabled": True})
+        with pytest.raises(ValueError, match="early_stop"):
+            self._adapter(state, early_stop={"enabled": True})
+        with pytest.raises(ValueError, match="reliab"):
+            self._adapter(state, reliability={"enabled": True})
+        with pytest.raises(ValueError, match="restore"):
+            self._adapter(state, restore={"enabled": True})
+        with pytest.raises(ValueError, match="rho"):
+            self._adapter(state, rho=0.0)
+
+    def test_sync_over_mesh_false_rejected(self):
+        state = make_state()
+        with pytest.raises(ValueError, match="sync_over_mesh"):
+            self._adapter(state, sync_over_mesh=False)
+
+    def test_stream_controller_accepts_sar(self):
+        from multimodal_tta_tpu.tta import StreamTTAController
+
+        state = make_state()
+        adapter = self._adapter(state, steps=1, lr=1e-2)
+        ctl = StreamTTAController(
+            adapter, state, threshold=0.5, policy="continual", guard=True,
+            entropy_floor_ratio=0.2,
+        )
+        x = np.random.RandomState(7).randn(2, 16, 16, 16, 2).astype(np.float32)
+        pred, info = ctl.step(x, 2, domain="A")
+        assert pred.shape == (2, 16, 16, 16, 1)
+        assert info["entropy_final"] is not None
