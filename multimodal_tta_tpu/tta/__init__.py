@@ -1,4 +1,5 @@
 from .cotta import CottaAdapter  # noqa: F401 (registers "cotta")
+from .eata import EataAdapter  # noqa: F401 (registers "eata")
 from .engine import TTAEngine  # noqa: F401
 from .norm_adapt import NormAdapter  # noqa: F401 (registers "norm")
 from .sar import SarAdapter  # noqa: F401 (registers "sar")

@@ -112,6 +112,11 @@ class CottaAdapter(TentAdapter):
                 "[cotta] tta.reliability gates the entropy objective; with "
                 "teacher pseudo-labels use a smaller lr or tta.restore"
             )
+        if self.fisher_enabled:
+            raise ValueError(
+                "[cotta] tta.fisher anchors the Tent objective; the EMA "
+                "teacher + tta.restore are cotta's anti-forgetting mechanisms"
+            )
         if self.n_views == 1 and not self.md_enabled:
             # measured on the stream fixture (BASELINE.md): every
             # views=1-no-dropout config served no-adapt Dice at any

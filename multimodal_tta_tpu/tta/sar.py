@@ -96,6 +96,11 @@ class SarAdapter(TentAdapter):
             )
         if self.loss_mode != "entropy":
             raise ValueError("[sar] tta.loss must be 'entropy' (the SAR objective)")
+        if self.fisher_enabled:
+            raise ValueError(
+                "[sar] tta.fisher anchors the Tent objective; SAR's recovery "
+                "resets are its anti-forgetting mechanism (use method=eata)"
+            )
         self.logger.info(
             f"[sar] sharpness-aware entropy minimization (rho={self.rho}, "
             f"margin={self.margin_ratio}*H_max, reset floor="

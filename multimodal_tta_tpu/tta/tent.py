@@ -226,6 +226,34 @@ class TentAdapter:
                 f"(margin = {self.rel_margin_ratio} * H_max, EATA-style)"
             )
 
+        # Fisher anti-forgetting (the other half of EATA, Niu et al. ICML
+        # 2022): an elementwise quadratic anchor
+        # ``0.5 * lambda * sum(omega * (theta - theta0)^2)`` pulling the
+        # trainable subtree toward SOURCE, weighted by a diagonal Fisher
+        # estimate omega = E[g^2] of the entropy gradient at the source
+        # model. Parameters the source objective is sensitive to are held
+        # tight; sloppy directions stay free to adapt. Two documented
+        # deviations from the paper: (1) omega is estimated on the first
+        # ``batches`` served test batches (EATA estimates on source-like
+        # unlabeled data; an offline stream has none — the stream's own
+        # head is the closest available sample) and normalized to mean 1
+        # over elements so ``lambda`` has a model-free scale; (2) the
+        # anchor is applied as a PROXIMAL (implicit-gradient) step after
+        # each optimizer update rather than folded into the loss — see
+        # grad_step, which explains why the explicit form diverges.
+        fsh = get_config(self.cfg, "fisher", ConfigNode())
+        self.fisher_enabled = bool(get_config(fsh, "enabled", False))
+        self.fisher_lambda = float(get_config(fsh, "lambda", 100.0))
+        self.fisher_batches = int(get_config(fsh, "batches", 4))
+        if self.fisher_enabled:
+            if self.fisher_batches < 1:
+                raise ValueError("[tent] tta.fisher.batches must be >= 1")
+            self.logger.info(
+                f"[tent] Fisher anti-forgetting enabled (lambda="
+                f"{self.fisher_lambda}, estimated on first "
+                f"{self.fisher_batches} batches, EATA-style)"
+            )
+
         # entropy focus: "all" = plain volume-mean Tent objective;
         # "uncertain" = self-normalized entropy (voxels weighted by their own
         # stop-gradient entropy) — in dense 3D segmentation the volume mean
@@ -270,6 +298,10 @@ class TentAdapter:
         self._adapt_step = None
         self._tx = None
         self._last_ents = None
+        self._fisher_step = None
+        self._fisher_sum = None
+        self._fisher_n = 0
+        self._fisher_cached = None
         self._rng = jax.random.PRNGKey(int(get_config(self.config, "task.seed", 0)) + 777)
 
     def reset_optimizer(self) -> None:
@@ -426,18 +458,24 @@ class TentAdapter:
         restore_prob = self.restore_prob
         rel_enabled = self.rel_enabled
         rel_margin_ratio = self.rel_margin_ratio
+        fisher_enabled = self.fisher_enabled
+        fisher_lr_lambda = self.lr * self.fisher_lambda
 
         episodic = self.episodic
 
         partition = self._partition
         combine = self._combine
 
-        # the restore anchor is the SOURCE trainable subtree — captured here
-        # as a jit constant, so in continual mode restore pulls toward the
-        # original source model, not the previous batch's carried state
-        src_trainable = partition(state.params, param_mask)[0] if restore_enabled else None
+        # the restore/Fisher anchor is the SOURCE trainable subtree —
+        # captured here as a jit constant, so in continual mode both pull
+        # toward the original source model, not the previous batch's state
+        src_trainable = (
+            partition(state.params, param_mask)[0]
+            if (restore_enabled or fisher_enabled)
+            else None
+        )
 
-        def adapt(params, batch_stats, opt_state, image, rng, n_valid, ent_floor):
+        def adapt(params, batch_stats, opt_state, image, rng, n_valid, ent_floor, fisher=None):
             trainable0, frozen = partition(params, param_mask)
             if episodic:
                 # fresh optimizer state per batch, created INSIDE the jit so
@@ -568,6 +606,26 @@ class TentAdapter:
                 )(trainable, bs, x, k_obj)
                 updates, opt_state = tx.update(grads, opt_state, trainable)
                 trainable = optax.apply_updates(trainable, updates)
+                if fisher_enabled:
+                    # PROXIMAL Fisher anchor: the exact minimizer of
+                    #   0.5/lr * |t - t_sgd|^2 + 0.5*lambda*omega*(t - s)^2
+                    # i.e. the implicit (backward-Euler) gradient step on the
+                    # paper's quadratic penalty, applied elementwise AFTER
+                    # the optimizer update. EATA puts the penalty in the
+                    # objective; explicit SGD on a quadratic diverges once
+                    # lr*lambda*omega > 2 (measured: lambda=1e4, lr=0.5
+                    # drove the norm params to inf), while this form is
+                    # unconditionally stable, monotone in lambda, and pins
+                    # to source exactly as lambda -> inf. Decoupling from
+                    # the gradient also keeps the reported entropy trace
+                    # clean — the stream watchdog keys on low entropy, and
+                    # a penalty folded into the loss would mask it.
+                    trainable = jax.tree_util.tree_map(
+                        lambda t, f, s: s + (t - s) / (1.0 + fisher_lr_lambda * f),
+                        trainable,
+                        fisher,
+                        src_trainable,
+                    )
                 if restore_enabled:
                     leaves, treedef = jax.tree_util.tree_flatten(trainable)
                     src_leaves = jax.tree_util.tree_flatten(src_trainable)[0]
@@ -655,15 +713,98 @@ class TentAdapter:
                 return params, batch_stats, opt_state, ents, pred
             return params, batch_stats, opt_state, ents
 
+        if self.fisher_enabled:
+            fn = adapt  # fisher tree rides as the trailing argument
+        else:
+
+            def fn(params, batch_stats, opt_state, image, rng, n_valid, ent_floor):
+                return adapt(params, batch_stats, opt_state, image, rng, n_valid, ent_floor)
+
+        if self.mesh is not None:
+            bsh = batch_sharding(self.mesh)
+            rep = replicated(self.mesh)
+            in_sh = (rep, rep, rep, bsh, rep, rep, rep)
+            if self.fisher_enabled:
+                in_sh = in_sh + (rep,)
+            return jax.jit(fn, in_shardings=in_sh, out_shardings=rep)
+        return jax.jit(fn)
+
+    # ------------------------------------------------------------------
+    def _build_fisher_step(self, state):
+        """Jitted diagonal-Fisher accumulator: squared entropy gradients of
+        the SOURCE model's trainable subtree on one test batch (train=False
+        — source statistics; the estimate is the source model's sensitivity,
+        not the test batch's)."""
+        param_mask = self._mask if getattr(self, "_mask", None) is not None else self._param_mask(state.params)
+        norm_fn = self._norm_fn
+        sigmoid_mode = self.sigmoid_mode
+        entropy_focus = self.entropy_focus
+        partition = self._partition
+        combine = self._combine
+
+        def fisher_step(params, batch_stats, image, n_valid):
+            trainable0, frozen = partition(params, param_mask)
+            image = image.astype(jnp.float32)
+            if norm_fn is not None:
+                image = jax.vmap(norm_fn)(image)
+            b = image.shape[0]
+            mask = (jnp.arange(b) < n_valid).astype(jnp.float32)
+            denom = jnp.maximum(jnp.sum(mask), 1.0)
+
+            def loss(trainable):
+                variables = {"params": combine(trainable, frozen)}
+                if batch_stats:
+                    variables["batch_stats"] = batch_stats
+                logits = state.apply_fn(variables, image, train=False)
+                per_sample = jax.vmap(
+                    lambda lg: entropy_loss(lg[None], sigmoid=sigmoid_mode, focus=entropy_focus)
+                )(logits)
+                return jnp.sum(per_sample * mask) / denom
+
+            g = jax.grad(loss)(trainable0)
+            return jax.tree_util.tree_map(lambda gg: gg * gg, g)
+
         if self.mesh is not None:
             bsh = batch_sharding(self.mesh)
             rep = replicated(self.mesh)
             return jax.jit(
-                adapt,
-                in_shardings=(rep, rep, rep, bsh, rep, rep, rep),
-                out_shardings=rep,
+                fisher_step, in_shardings=(rep, rep, bsh, rep), out_shardings=rep
             )
-        return jax.jit(adapt)
+        return jax.jit(fisher_step)
+
+    def _maybe_accumulate_fisher(self, source_state, image, n_valid) -> None:
+        if not self.fisher_enabled or self._fisher_n >= self.fisher_batches:
+            return
+        if self._fisher_step is None:
+            self._fisher_step = self._build_fisher_step(source_state)
+        sq = self._fisher_step(
+            source_state.params, source_state.batch_stats, image, jnp.int32(n_valid)
+        )
+        self._fisher_sum = (
+            sq
+            if self._fisher_sum is None
+            else jax.tree_util.tree_map(jnp.add, self._fisher_sum, sq)
+        )
+        self._fisher_n += 1
+
+    def _fisher_arg(self):
+        """Batch-mean Fisher, normalized to mean 1 over elements so that
+        ``tta.fisher.lambda`` has a model-free scale. Frozen (cached) once
+        the estimation window is complete so the hot serving loop does no
+        eager tree arithmetic per batch."""
+        if self._fisher_cached is not None:
+            return self._fisher_cached
+        f = jax.tree_util.tree_map(
+            lambda s: s / float(max(self._fisher_n, 1)), self._fisher_sum
+        )
+        leaves = jax.tree_util.tree_leaves(f)
+        total = jnp.sum(jnp.stack([jnp.sum(l) for l in leaves]))
+        count = float(sum(l.size for l in leaves))
+        mean = total / count
+        out = jax.tree_util.tree_map(lambda l: l / jnp.maximum(mean, 1e-30), f)
+        if self._fisher_n >= self.fisher_batches:
+            self._fisher_cached = out
+        return out
 
     # ------------------------------------------------------------------
     def make_adapt_fn(self, source_state) -> Callable:
@@ -685,7 +826,7 @@ class TentAdapter:
             # episodic: the jit re-inits internally; pass the template state
             opt_state = self._opt_state
             self._rng, key = jax.random.split(self._rng)
-            params, batch_stats, opt_state, ents = self._adapt_step(
+            args = (
                 base.params,
                 base.batch_stats,
                 opt_state,
@@ -694,6 +835,10 @@ class TentAdapter:
                 jnp.int32(n_valid),
                 jnp.float32(jnp.nan if ent_floor is None else ent_floor),
             )
+            if self.fisher_enabled:
+                self._maybe_accumulate_fisher(source_state, image, n_valid)
+                args = args + (self._fisher_arg(),)
+            params, batch_stats, opt_state, ents = self._adapt_step(*args)
             if not self.episodic:
                 self._opt_state = opt_state
             self._last_ents = ents
@@ -721,7 +866,7 @@ class TentAdapter:
         def adapt_predict_fn(state, image, n_valid, ent_floor=None):
             base = source_state if self.episodic else state
             self._rng, key = jax.random.split(self._rng)
-            params, batch_stats, opt_state, ents, pred = step(
+            args = (
                 base.params,
                 base.batch_stats,
                 self._opt_state,
@@ -730,6 +875,10 @@ class TentAdapter:
                 jnp.int32(n_valid),
                 jnp.float32(jnp.nan if ent_floor is None else ent_floor),
             )
+            if self.fisher_enabled:
+                self._maybe_accumulate_fisher(source_state, image, n_valid)
+                args = args + (self._fisher_arg(),)
+            params, batch_stats, opt_state, ents, pred = step(*args)
             if not self.episodic:
                 self._opt_state = opt_state
             self._last_ents = ents

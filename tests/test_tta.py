@@ -1095,3 +1095,162 @@ class TestSar:
         pred, info = ctl.step(x, 2, domain="A")
         assert pred.shape == (2, 16, 16, 16, 1)
         assert info["entropy_final"] is not None
+
+
+class TestFisherAnchor:
+    """EATA Fisher anti-forgetting (tta.fisher): diagonal-Fisher quadratic
+    anchor toward the SOURCE trainable subtree, estimated from entropy
+    gradients of the source model over the first served batches."""
+
+    def _adapt(self, fisher=None, episodic=False, steps=4, lr=0.5, batches=2, method="tent"):
+        state = make_state()
+        tta = tent_cfg(method=method, steps=steps, lr=lr, momentum=0.0, episodic=episodic)
+        if fisher is not None:
+            tta["fisher"] = dict(fisher, enabled=True)
+        cfg = full_cfg(tta=tta)
+        adapter = get_tta_method(method)(cfg.tta, config=cfg, mesh=None)
+        adapt_fn = adapter.make_adapt_fn(state)
+        rng = np.random.RandomState(0)
+        out = state
+        for _ in range(batches):
+            x = jnp.asarray(rng.randn(2, 16, 16, 16, 2), jnp.float32)
+            out = adapt_fn(out, x, 2)
+        return state, out, adapter
+
+    @staticmethod
+    def _dist(a, b):
+        return float(
+            sum(
+                float(jnp.sum(jnp.abs(x - y)))
+                for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+            )
+        )
+
+    def test_lambda_zero_matches_disabled(self):
+        # lambda=0 makes the proximal map the identity up to float
+        # reassociation (s + (t-s)/1), so the trajectory matches plain Tent
+        # to rounding
+        _, off, _ = self._adapt(fisher=None)
+        _, zero, _ = self._adapt(fisher={"lambda": 0.0})
+        assert self._dist(off.params, zero.params) < 1e-4
+
+    def test_anchor_bounds_drift_monotonically(self):
+        src, free, _ = self._adapt(fisher=None)
+        _, soft, _ = self._adapt(fisher={"lambda": 10.0})
+        _, hard, _ = self._adapt(fisher={"lambda": 1e4})
+        d_free = self._dist(src.params, free.params)
+        d_soft = self._dist(src.params, soft.params)
+        d_hard = self._dist(src.params, hard.params)
+        assert d_free > 0.0
+        assert d_hard < d_soft < d_free, (d_hard, d_soft, d_free)
+
+    def test_estimation_window_freezes(self):
+        _, _, adapter = self._adapt(fisher={"batches": 2}, batches=4)
+        assert adapter._fisher_n == 2
+        assert adapter._fisher_cached is not None
+        # frozen: the cached normalized tree is returned as-is
+        assert adapter._fisher_arg() is adapter._fisher_cached
+
+    def test_fisher_normalized_to_mean_one(self):
+        _, _, adapter = self._adapt(fisher={"batches": 1}, batches=1)
+        leaves = jax.tree_util.tree_leaves(adapter._fisher_arg())
+        total = sum(float(jnp.sum(l)) for l in leaves)
+        count = sum(l.size for l in leaves)
+        np.testing.assert_allclose(total / count, 1.0, rtol=1e-5)
+
+    def test_reported_entropy_is_clean_objective(self):
+        # the stream watchdog keys on LOW entropy; the anchor must not leak
+        # into the reported trace (with lambda=1e8 a folded-in penalty would
+        # be astronomically large or inf — the proximal form keeps the trace
+        # at the entropy scale, ~ln 2 for sigmoid outputs)
+        _, _, anchored_ad = self._adapt(fisher={"lambda": 1e8}, batches=1)
+        e_anch = anchored_ad.last_entropy
+        assert np.isfinite(e_anch) and 0.0 < e_anch < 1.0
+
+    def test_anchor_is_source_not_carried_state(self):
+        # continual stream with an overwhelming anchor: the end state stays
+        # pinned near SOURCE even after several batches of drift pressure
+        src, out, _ = self._adapt(fisher={"lambda": 1e6}, batches=3)
+        src2, free, _ = self._adapt(fisher=None, batches=3)
+        assert self._dist(src.params, out.params) < 0.01 * self._dist(src2.params, free.params)
+
+
+class TestEata:
+    """Method "eata" (tta/eata.py): reliability gate + Fisher anchor on by
+    default over the Tent engine."""
+
+    def test_registered_with_both_mechanisms_defaulted(self):
+        from multimodal_tta_tpu.tta import EataAdapter
+
+        assert get_tta_method("eata") is EataAdapter
+        cfg = full_cfg(tta=tent_cfg(method="eata", episodic=False))
+        adapter = EataAdapter(cfg.tta, config=cfg, mesh=None)
+        assert adapter.rel_enabled and adapter.fisher_enabled
+
+    def test_explicit_overrides_respected(self):
+        from multimodal_tta_tpu.tta import EataAdapter
+
+        tta = tent_cfg(method="eata", episodic=False)
+        tta["fisher"] = {"enabled": False}
+        cfg = full_cfg(tta=tta)
+        adapter = EataAdapter(cfg.tta, config=cfg, mesh=None)
+        assert adapter.rel_enabled and not adapter.fisher_enabled
+
+    def test_both_disabled_raises(self):
+        from multimodal_tta_tpu.tta import EataAdapter
+
+        tta = tent_cfg(method="eata", episodic=False)
+        tta["fisher"] = {"enabled": False}
+        tta["reliability"] = {"enabled": False}
+        cfg = full_cfg(tta=tta)
+        with pytest.raises(ValueError, match="plain Tent"):
+            EataAdapter(cfg.tta, config=cfg, mesh=None)
+
+    def test_adapts_and_reduces_entropy(self):
+        state = make_state()
+        tta = tent_cfg(method="eata", episodic=False, steps=4, lr=1e-2)
+        # random-noise fixtures sit near max entropy: the default 0.4 margin
+        # gates every sample (the documented behavior) — open the gate so
+        # this test exercises the update path
+        tta["reliability"] = {"enabled": True, "margin_ratio": 10.0}
+        cfg = full_cfg(tta=tta)
+        adapter = get_tta_method("eata")(cfg.tta, config=cfg, mesh=None)
+        adapt_fn = adapter.make_adapt_fn(state)
+        x = jnp.asarray(np.random.RandomState(3).randn(2, 16, 16, 16, 2), jnp.float32)
+        out = adapt_fn(state, x, 2)
+        ents = np.asarray(adapter._last_ents)
+        assert np.isfinite(ents).all()
+        moved = sum(
+            float(jnp.sum(jnp.abs(a - b)))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(out.params),
+                jax.tree_util.tree_leaves(state.params),
+            )
+        )
+        assert moved > 0.0
+
+    def test_cotta_and_sar_reject_fisher(self):
+        from multimodal_tta_tpu.tta import CottaAdapter, SarAdapter
+
+        for cls, name in ((CottaAdapter, "cotta"), (SarAdapter, "sar")):
+            tta = tent_cfg(method=name, episodic=False)
+            tta["fisher"] = {"enabled": True}
+            cfg = full_cfg(tta=tta)
+            with pytest.raises(ValueError, match="fisher"):
+                cls(cfg.tta, config=cfg, mesh=None)
+
+    def test_stream_controller_accepts_eata(self):
+        from multimodal_tta_tpu.tta import StreamTTAController
+
+        state = make_state()
+        tta = tent_cfg(method="eata", episodic=False, steps=1, lr=1e-2)
+        cfg = full_cfg(tta=tta)
+        adapter = get_tta_method("eata")(cfg.tta, config=cfg, mesh=None)
+        ctl = StreamTTAController(
+            adapter, state, threshold=0.5, policy="continual", guard=True,
+            entropy_floor_ratio=0.2,
+        )
+        x = np.random.RandomState(7).randn(2, 16, 16, 16, 2).astype(np.float32)
+        pred, info = ctl.step(x, 2, domain="A")
+        assert pred.shape == (2, 16, 16, 16, 1)
+        assert info["entropy_final"] is not None
