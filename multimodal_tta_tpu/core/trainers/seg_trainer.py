@@ -61,6 +61,16 @@ class SegTrainer(TrainerBase):
             raise ValueError("[SegTrainer] both softmax and sigmoid are False. Set one True.")
         self.loss_fn = make_dice_ce_loss(crit_cfg)
 
+        # nnU-Net-style deep supervision: the model (models/unet3d.py
+        # deep_supervision) sows aux logits at the k next-coarser decoder
+        # levels; the same DiceCE is applied against strided-slice
+        # (nearest) downsampled labels with 1/2^k weights normalized to
+        # sum 1 (the nnU-Net recipe — PAPERS.md nnU-Net family).
+        self.ds_levels = int(get_config(config, "model.deep_supervision", 0))
+        self._model_strides = tuple(
+            int(s) for s in get_config(config, "model.strides", [2, 2, 2, 2])
+        )
+
         # device-side transform spec (from SegTransform.device_spec())
         self.device_transform = device_transform or {}
         self._norm_fn = None
@@ -93,6 +103,16 @@ class SegTrainer(TrainerBase):
         mod_drop_prob = float(self.device_transform.get("modality_dropout_prob", 0.25))
         loss_fn = self.loss_fn
         sigmoid = self.sigmoid
+        ds_levels = self.ds_levels
+        ds_factors = []
+        for i in range(1, ds_levels + 1):
+            f = 1
+            for s in self._model_strides[:i]:
+                f *= s
+            ds_factors.append(f)
+        if ds_levels:
+            w = np.array([0.5**k for k in range(ds_levels + 1)], np.float64)
+            ds_weights = tuple(float(x) for x in (w / w.sum()))
 
         def step(state, image, label, rng, n_valid):
             image = image.astype(jnp.float32)  # upcast compact transfer dtypes
@@ -119,17 +139,40 @@ class SegTrainer(TrainerBase):
 
             def compute_loss(params):
                 variables = {"params": params}
+                mutable = []
                 if state.batch_stats:
                     variables["batch_stats"] = state.batch_stats
+                    mutable.append("batch_stats")
+                if ds_levels:
+                    mutable.append("intermediates")
+                if mutable:
                     logits, updates = state.apply_fn(
-                        variables, image, train=True, mutable=["batch_stats"]
+                        variables, image, train=True, mutable=mutable
                     )
-                    new_bs = updates["batch_stats"]
+                    new_bs = updates.get("batch_stats", state.batch_stats)
+                    inter = updates.get("intermediates", {})
                 else:
                     logits = state.apply_fn(variables, image, train=True)
                     new_bs = state.batch_stats
                 lbl = label if sigmoid else label.astype(jnp.int32)
-                per_sample = jax.vmap(lambda lg, lb: loss_fn(lg[None], lb[None]))(logits, lbl)
+
+                def per_sample_of(lg_batch, lb_batch):
+                    return jax.vmap(lambda lg, lb: loss_fn(lg[None], lb[None]))(
+                        lg_batch, lb_batch
+                    )
+
+                per_sample = per_sample_of(logits, lbl)
+                if ds_levels:
+                    per_sample = ds_weights[0] * per_sample
+                    for k, f in enumerate(ds_factors):
+                        aux = inter[f"ds{k + 1}"][0]
+                        # nearest-downsampled target: strided slice keeps the
+                        # label crisp (no interpolated fractions) and is a
+                        # free gather for XLA
+                        lb_k = (
+                            lbl[:, ::f, ::f, ::f, :] if sigmoid else lbl[:, ::f, ::f, ::f]
+                        )
+                        per_sample = per_sample + ds_weights[k + 1] * per_sample_of(aux, lb_k)
                 loss = jnp.sum(per_sample * mask) / jnp.maximum(jnp.sum(mask), 1.0)
                 return loss, new_bs
 

@@ -37,6 +37,13 @@ class UNet3D(nn.Module):
     spatial_dims: int = 3
     dtype: Any = jnp.float32
     remat: Any = False  # False | True (all levels) | int (n highest-res levels)
+    # nnU-Net-style deep supervision (Isensee et al.; PAPERS.md nnU-Net
+    # family): k > 0 adds 1x1x1 aux heads to the k next-coarser decoder
+    # levels (R/2 .. R/2^k). The heads only run under train=True and emit
+    # via self.sow("intermediates", ...), so the eval/TTA forward signature
+    # and compute are untouched; SegTrainer consumes them when
+    # training.deep_supervision is on.
+    deep_supervision: int = 0
 
     @classmethod
     def from_config(cls, cfg, **overrides) -> "UNet3D":
@@ -51,6 +58,7 @@ class UNet3D(nn.Module):
             norm=str(get_config(cfg, "norm", "INSTANCE")),
             dropout=float(get_config(cfg, "dropout", 0.0)),
             spatial_dims=int(get_config(cfg, "spatial_dims", 3)),
+            deep_supervision=int(get_config(cfg, "deep_supervision", 0)),
         )
         kw.update(overrides)
         if kw["spatial_dims"] != 3:
@@ -138,11 +146,24 @@ class UNet3D(nn.Module):
         h = run(self._block(chs[-1], 1, "bottleneck"), h, n_levels)
 
         # ---- decoder ----
+        ds_levels = min(int(self.deep_supervision or 0), n_levels - 1)
         for i in reversed(range(n_levels)):
             h = TransposedConvUp(features=chs[i], strides=sts[i], dtype=self.dtype, name=f"up{i}")(h)
             skip = skips[i - 1] if i > 0 else x
             h = jnp.concatenate([h, skip], axis=-1)
             h = run(self._block(chs[i], 1, f"dec{i}"), h, i)
+            if train and 1 <= i <= ds_levels:
+                # aux logits at R/2^i; fp32 head like the main one. Only
+                # traced under train=True, so eval/TTA graphs carry no ds
+                # compute (the params still initialize — init runs train=True)
+                aux = nn.Conv(
+                    features=self.num_classes,
+                    kernel_size=(1, 1, 1),
+                    padding="SAME",
+                    dtype=jnp.float32,
+                    name=f"ds_head{i}",
+                )(h.astype(jnp.float32))
+                self.sow("intermediates", f"ds{i}", aux)
 
         logits = nn.Conv(
             features=self.num_classes,

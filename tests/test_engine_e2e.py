@@ -273,6 +273,37 @@ class TestSpatialShardingConfig:
         assert np.isfinite(results["train_history"][0]["loss"])
 
 
+class TestDeepSupervisionTraining:
+    def test_train_with_ds_moves_aux_heads(self, hecktor_manifest, tmp_path):
+        """model.deep_supervision=2: training runs with the multi-scale loss
+        and the aux heads receive gradients (their params move)."""
+        cfg = small_cfg(
+            hecktor_manifest,
+            tmp_path,
+            extra=[
+                "model.deep_supervision=2",
+                "training.epochs=1",
+                "training.eval_test.do_val=false",
+                "training.eval_test.do_test=false",
+            ],
+        )
+        mgr = ExperimentManager(cfg)
+        mgr.setup_model()
+        mgr.setup_data("train")
+        mgr.setup_optimizer()
+        mgr.setup_scheduler()
+        mgr.setup_trainer(str(tmp_path / "run_ds"))
+        before = jax.tree_util.tree_map(np.asarray, mgr.state.params["ds_head1"])
+        results = mgr.train(1)
+        assert np.isfinite(results["train_history"][0]["loss"])
+        after = mgr.state.params["ds_head1"]
+        moved = sum(
+            float(jnp.sum(jnp.abs(jnp.asarray(a) - b)))
+            for a, b in zip(jax.tree_util.tree_leaves(after), jax.tree_util.tree_leaves(before))
+        )
+        assert moved > 0.0
+
+
 class TestDeterminism:
     def test_identical_runs_identical_losses(self, hecktor_manifest, tmp_path):
         def run(tag):

@@ -87,6 +87,52 @@ class TestUNet3D:
             m.init(rng_key, jnp.zeros((1, 16, 16, 16, 3)))
 
 
+class TestDeepSupervision:
+    """nnU-Net-style aux heads (deep_supervision=k): sown under train=True
+    only, at the k next-coarser decoder resolutions."""
+
+    def _model(self, ds):
+        return UNet3D(in_channels=2, num_classes=1, deep_supervision=ds, **SMALL)
+
+    def test_aux_heads_and_shapes(self, rng_key):
+        m = self._model(2)
+        x = jnp.zeros((1, 16, 16, 16, 2))
+        v = m.init(rng_key, x, train=True)
+        assert "ds_head1" in v["params"] and "ds_head2" in v["params"]
+        # flax init denies the intermediates collection by default
+        assert set(v.keys()) == {"params"}
+        y, upd = m.apply({"params": v["params"]}, x, train=True, mutable=["intermediates"])
+        assert y.shape == (1, 16, 16, 16, 1)
+        inter = upd["intermediates"]
+        assert inter["ds1"][0].shape == (1, 8, 8, 8, 1)
+        assert inter["ds2"][0].shape == (1, 4, 4, 4, 1)
+
+    def test_eval_forward_identical_to_plain(self, rng_key):
+        """The aux heads run only under train=True; with path-stable flax
+        param RNG the eval forward must be bit-identical to deep_supervision=0
+        initialized from the same key."""
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 16, 16, 2), jnp.float32)
+        v_ds = self._model(2).init(rng_key, x, train=True)
+        v_0 = self._model(0).init(rng_key, x, train=True)
+        y_ds = self._model(2).apply({"params": v_ds["params"]}, x, train=False)
+        y_0 = self._model(0).apply({"params": v_0["params"]}, x, train=False)
+        np.testing.assert_array_equal(np.asarray(y_ds), np.asarray(y_0))
+
+    def test_capped_at_available_levels(self, rng_key):
+        # k beyond n_levels-1 clamps instead of erroring
+        m = self._model(99)
+        x = jnp.zeros((1, 16, 16, 16, 2))
+        v = m.init(rng_key, x, train=True)
+        heads = [k for k in v["params"] if k.startswith("ds_head")]
+        assert sorted(heads) == ["ds_head1", "ds_head2", "ds_head3"]
+
+    def test_from_config_reads_key(self):
+        cfg = ConfigNode(
+            {"channels": [4, 8, 16, 32, 64], "strides": [2, 2, 2, 2], "deep_supervision": 2}
+        )
+        assert UNet3D.from_config(cfg).deep_supervision == 2
+
+
 class TestMidFusion:
     def test_registered_both_names(self):
         assert get_model("unet_multimodal_midfusion") is MultimodalUNetMidFusion
