@@ -159,7 +159,10 @@ def run_policy(manager, cfg, device_transform, *, policy, guard, steps, lr,
     row.update({"steps": steps, "lr": lr})
     if method != "tent":
         row["policy"] = f"{method}:{row['policy']}"
-        row["ema"] = ema
+        if method == "cotta":
+            row["ema"] = ema
+    if getattr(adapter, "fisher_enabled", False):
+        row["fisher_lambda"] = adapter.fisher_lambda
     if guard:
         row["floor"] = floor_ratio
     if early_stop_ratio is not None:
@@ -312,6 +315,23 @@ def main() -> None:
                     method="cotta", n_views=2, **cl))
     emit(run_policy(manager, cfg, device_transform, policy="continual", guard=False,
                     method="cotta", n_views=2, restore_prob=0.01, **cl))
+
+    # EATA (tta/eata.py): reliability gate + proximal Fisher anchor. On this
+    # fixture the default 0.4 gate excludes every volume (measured above), so
+    # the gate is opened to 0.7 (passes everything — the tent margin-0.7 rows
+    # are the controls) and the question becomes whether the Fisher anchor
+    # ALONE does what the gate structurally cannot: bound over-adaptation
+    # drift. lambda sweeps the anchor strength; the per-step proximal
+    # coefficient is lr*lambda*omega with omega mean-normalized to 1.
+    for lam in (10.0, 100.0):
+        emit(run_policy(manager, cfg, device_transform, policy="continual",
+                        guard=False, method="eata", rel_margin=0.7,
+                        node_extra={"fisher": {"enabled": True, "lambda": lam}},
+                        **op))
+        emit(run_policy(manager, cfg, device_transform, policy="continual",
+                        guard=False, method="eata", rel_margin=0.7,
+                        node_extra={"fisher": {"enabled": True, "lambda": lam}},
+                        **cl))
 
     # SAR (tta/sar.py): sharpness-aware steps + in-scan recovery resets. The
     # reliable filter (margin 0.4*H_max, the paper's constant) skips batches
