@@ -35,7 +35,7 @@ import numpy as np
 from ...conf.node import ConfigNode
 from ...ops.augment import modality_dropout, rand_intensity_scale_shift
 from ...ops.intensity import make_intensity_normalizer
-from ...ops.losses import make_dice_ce_loss
+from ...ops.losses import make_criterion
 from ...parallel.mesh import (
     batch_sharding,
     data_axis_size,
@@ -59,7 +59,7 @@ class SegTrainer(TrainerBase):
             raise ValueError("[SegTrainer] softmax=True and sigmoid=True cannot both be True.")
         if not self.softmax and not self.sigmoid:
             raise ValueError("[SegTrainer] both softmax and sigmoid are False. Set one True.")
-        self.loss_fn = make_dice_ce_loss(crit_cfg)
+        self.loss_fn = make_criterion(crit_cfg)
 
         # nnU-Net-style deep supervision: the model (models/unet3d.py
         # deep_supervision) sows aux logits at the k next-coarser decoder

@@ -29,7 +29,7 @@ import numpy as np
 from tqdm import tqdm
 
 from ..conf.node import ConfigNode
-from ..ops.losses import make_dice_ce_loss
+from ..ops.losses import make_criterion
 from ..ops.seg_metrics import binary_dice_iou
 from ..parallel.mesh import batch_sharding, replicated
 from ..registry import register_evaluation_strategy
@@ -164,7 +164,7 @@ class SegmentationEvaluationStrategy:
         w = get_config(crit_cfg, "weight", None)
         if w is not None and len(list(w)) > 0:
             eval_crit["ce_weight"] = [float(x) for x in list(w)]
-        self.loss_fn = make_dice_ce_loss(eval_crit)
+        self.loss_fn = make_criterion(eval_crit)
 
         td = str(get_config(self.config, "training.transfer_dtype", "float32")).lower()
         self._transfer_dtype = {"float32": None, "float16": np.float16, "bfloat16": jnp.bfloat16}[td]

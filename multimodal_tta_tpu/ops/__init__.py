@@ -4,6 +4,7 @@ from .losses import (  # noqa: F401
     dice_ce_loss,
     entropy_loss,
     focal_loss,
+    make_criterion,
     make_dice_ce_loss,
     soft_dice_loss,
     triplet_margin_loss,
@@ -22,6 +23,7 @@ __all__ = [
     "dice_ce_loss",
     "entropy_loss",
     "focal_loss",
+    "make_criterion",
     "make_dice_ce_loss",
     "soft_dice_loss",
     "triplet_margin_loss",

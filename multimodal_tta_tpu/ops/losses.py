@@ -279,3 +279,104 @@ def entropy_loss(
     if focus != "all":
         raise ValueError(f"Unknown entropy focus: {focus}")
     return jnp.mean(h)
+
+
+def generalized_wasserstein_dice_loss(
+    logits: jnp.ndarray,
+    label: jnp.ndarray,
+    distance_matrix,
+    *,
+    background_index: int = 0,
+    smooth: float = 1e-5,
+) -> jnp.ndarray:
+    """Generalized Wasserstein Dice Loss (Fidon et al., BrainLes 2017; used
+    by the BraTS-2021 entry in PAPERS.md). Softmax label-map formulation.
+
+    A class-distance matrix ``M`` ([C, C], M[l, l] = 0) grades errors by
+    semantic severity: predicted mass on a class close to the truth (e.g.
+    edema vs whole-tumor) costs less than mass on a distant one. Per voxel,
+    the Wasserstein discrepancy under ``M`` (paper eq. 6; for one-hot truth
+    the transport is closed-form) is
+
+        delta_i = sum_c M[y_i, c] * p_i(c)
+
+    the generalized true positives weight each foreground voxel by its
+    class's distance to background, gamma_l = M[l, b] (paper's "with respect
+    to background"; background voxels carry M[b, b] = 0 and drop out):
+
+        TP = sum_i M[y_i, b] * (M[y_i, b] - delta_i)
+
+    and the loss is ``1 - (2 TP + s) / (2 TP + sum_i delta_i + s)`` (eq. 10).
+    With the uniform metric ``M = 1 - I`` this reduces EXACTLY to
+    foreground soft Dice (delta = 1 - p_true; TP = sum of true-class mass on
+    foreground voxels; sum delta = soft FP + FN) — property-tested against
+    ``soft_dice_loss``.
+
+    logits: [B, *spatial, C]; label: [B, *spatial] int class map.
+    Reference parity: the reference repo has no GWDL (its criterion is
+    DiceCE, reference src/core/trainers/seg_trainer.py:30-57) — new
+    capability from the retrieved papers.
+    """
+    M = jnp.asarray(distance_matrix, jnp.float32)
+    if M.ndim != 2 or M.shape[0] != M.shape[1]:
+        raise ValueError(f"distance_matrix must be square, got {M.shape}")
+    if logits.shape[-1] != M.shape[0]:
+        raise ValueError(
+            f"distance_matrix is {M.shape[0]}x{M.shape[0]} but logits have "
+            f"{logits.shape[-1]} classes"
+        )
+    p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    y = label.astype(jnp.int32)
+    delta = jnp.sum(M[y] * p, axis=-1)           # [B, *spatial]
+    gamma = M[y, background_index]               # [B, *spatial]
+    b = logits.shape[0]
+    tp = jnp.sum((gamma * (gamma - delta)).reshape(b, -1), axis=-1)
+    all_error = jnp.sum(delta.reshape(b, -1), axis=-1)
+    wasserstein_dice = (2.0 * tp + smooth) / (2.0 * tp + all_error + smooth)
+    return jnp.mean(1.0 - wasserstein_dice)
+
+
+def make_gwdl_loss(crit_cfg) -> "partial":
+    """Build a GWDL closure from ``training.criterion`` with
+    ``name: gwdl``. Requires softmax mode (label maps) and an explicit
+    ``distance_matrix`` (list of C rows) — there is no universal default;
+    the matrix encodes the task's label semantics."""
+    from ..utils.config import get_config
+
+    if bool(get_config(crit_cfg, "sigmoid", False)):
+        raise ValueError(
+            "[criterion/gwdl] GWDL is a softmax label-map loss; set "
+            "criterion.softmax=true (multi-label sigmoid masks have no "
+            "single true class to transport from)"
+        )
+    m = get_config(crit_cfg, "distance_matrix", None)
+    if m is None:
+        raise ValueError(
+            "[criterion/gwdl] training.criterion.distance_matrix is required "
+            "(C x C list, M[l][l]=0) — e.g. uniform 1-I, or a label-tree "
+            "metric grading semantically close classes cheaper"
+        )
+    matrix = [[float(v) for v in row] for row in m]
+    n = len(matrix)
+    if any(len(r) != n for r in matrix) or any(matrix[i][i] != 0.0 for i in range(n)):
+        raise ValueError("[criterion/gwdl] distance_matrix must be square with a zero diagonal")
+    return partial(
+        generalized_wasserstein_dice_loss,
+        distance_matrix=matrix,
+        background_index=int(get_config(crit_cfg, "background_index", 0)),
+        smooth=float(get_config(crit_cfg, "smooth", 1e-5)),
+    )
+
+
+def make_criterion(crit_cfg) -> "partial":
+    """Dispatch a ``training.criterion`` node to its loss family by
+    ``name`` (default ``dice_ce``; ``gwdl`` = generalized Wasserstein
+    Dice). Both return a ``loss(logits, label)`` closure."""
+    from ..utils.config import get_config
+
+    name = str(get_config(crit_cfg, "name", "dice_ce")).lower()
+    if name == "dice_ce":
+        return make_dice_ce_loss(crit_cfg)
+    if name == "gwdl":
+        return make_gwdl_loss(crit_cfg)
+    raise ValueError(f"[criterion] unknown criterion name: {name!r} (dice_ce | gwdl)")

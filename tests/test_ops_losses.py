@@ -185,3 +185,119 @@ class TestEntropyFocal:
         t = jnp.ones((1, 8, 1))
         hard = jnp.full((1, 8, 1), -10.0)
         assert float(focal_loss(easy, t)) < float(focal_loss(hard, t))
+
+
+class TestGWDL:
+    """Generalized Wasserstein Dice Loss (softmax label-map formulation)."""
+
+    @staticmethod
+    def _loss(logits, label, M, **kw):
+        from multimodal_tta_tpu.ops.losses import generalized_wasserstein_dice_loss
+
+        return float(
+            generalized_wasserstein_dice_loss(
+                jnp.asarray(logits), jnp.asarray(label), M, **kw
+            )
+        )
+
+    def test_uniform_metric_reduces_to_soft_dice(self):
+        # with M = 1 - I the paper's formula collapses to foreground soft
+        # Dice: 1 - 2*sum(p1*y) / (sum(p1) + sum(y)) — verified against an
+        # independent numpy computation (smooth=0 for exactness)
+        rng = np.random.RandomState(0)
+        logits = rng.randn(2, 4, 4, 4, 2).astype(np.float32)
+        label = (rng.rand(2, 4, 4, 4) > 0.6).astype(np.int32)
+        M = [[0.0, 1.0], [1.0, 0.0]]
+        got = self._loss(logits, label, M, smooth=0.0)
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        p1 = (e / e.sum(-1, keepdims=True))[..., 1]
+        inter = (p1 * label).reshape(2, -1).sum(-1)
+        denom = p1.reshape(2, -1).sum(-1) + label.reshape(2, -1).sum(-1)
+        expect = float(np.mean(1.0 - 2.0 * inter / denom))
+        assert got == pytest.approx(expect, rel=1e-5)
+
+    def test_tree_metric_grades_error_severity(self):
+        # classes (bg, A, B) with d(A,B)=0.5 < d(A,bg)=1: for true-A voxels,
+        # mass leaking to the semantically-close B costs less than the same
+        # mass leaking to background
+        M = [[0.0, 1.0, 1.0], [1.0, 0.0, 0.5], [1.0, 0.5, 0.0]]
+        label = np.ones((1, 2, 2, 2), np.int32)  # all true class A
+        near = np.zeros((1, 2, 2, 2, 3), np.float32)
+        near[..., 1] = 1.0
+        near[..., 2] = 0.8  # leak toward B
+        far = np.zeros((1, 2, 2, 2, 3), np.float32)
+        far[..., 1] = 1.0
+        far[..., 0] = 0.8  # same leak toward background
+        assert self._loss(near, label, M) < self._loss(far, label, M)
+
+    def test_perfect_and_worst_bounds(self):
+        M = [[0.0, 1.0], [1.0, 0.0]]
+        label = np.array([[[[1, 0], [0, 1]]]], np.int32)  # [1,1,2,2]
+        perfect = np.full(label.shape + (2,), -20.0, np.float32)
+        for idx in np.ndindex(label.shape):
+            perfect[idx + (label[idx],)] = 20.0
+        assert self._loss(perfect, label, M) == pytest.approx(0.0, abs=1e-4)
+        worst = np.full(label.shape + (2,), -20.0, np.float32)
+        for idx in np.ndindex(label.shape):
+            worst[idx + (1 - label[idx],)] = 20.0
+        assert self._loss(worst, label, M) > 0.9
+
+    def test_grad_finite_and_jittable(self):
+        from multimodal_tta_tpu.ops.losses import generalized_wasserstein_dice_loss
+
+        M = [[0.0, 1.0, 0.7], [1.0, 0.0, 0.5], [0.7, 0.5, 0.0]]
+        logits = jnp.asarray(np.random.RandomState(1).randn(2, 4, 4, 4, 3), jnp.float32)
+        label = jnp.asarray(np.random.RandomState(2).randint(0, 3, (2, 4, 4, 4)))
+        g = jax.jit(
+            jax.grad(lambda lg: generalized_wasserstein_dice_loss(lg, label, M))
+        )(logits)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.sum(jnp.abs(g))) > 0.0
+
+    def test_shape_validation(self):
+        with pytest.raises(ValueError, match="classes"):
+            self._loss(np.zeros((1, 2, 2, 2, 3), np.float32), np.zeros((1, 2, 2, 2), np.int32),
+                       [[0.0, 1.0], [1.0, 0.0]])
+        with pytest.raises(ValueError, match="square"):
+            self._loss(np.zeros((1, 2, 2, 2, 2), np.float32), np.zeros((1, 2, 2, 2), np.int32),
+                       [[0.0, 1.0, 1.0], [1.0, 0.0, 1.0]])
+
+
+class TestCriterionDispatch:
+    def test_default_is_dice_ce(self):
+        from multimodal_tta_tpu.ops.losses import make_criterion
+
+        fn = make_criterion(ConfigNode({"sigmoid": True}))
+        lg = jnp.zeros((1, 4, 4, 4, 1))
+        lb = jnp.zeros((1, 4, 4, 4, 1))
+        assert np.isfinite(float(fn(lg, lb)))
+
+    def test_gwdl_dispatch_and_validation(self):
+        from multimodal_tta_tpu.ops.losses import make_criterion
+
+        cfg = ConfigNode(
+            {
+                "name": "gwdl",
+                "softmax": True,
+                "distance_matrix": [[0.0, 1.0], [1.0, 0.0]],
+            }
+        )
+        fn = make_criterion(cfg)
+        lg = jnp.asarray(np.random.RandomState(0).randn(1, 4, 4, 4, 2), jnp.float32)
+        lb = jnp.zeros((1, 4, 4, 4), jnp.int32)
+        assert np.isfinite(float(fn(lg, lb)))
+        with pytest.raises(ValueError, match="distance_matrix is required"):
+            make_criterion(ConfigNode({"name": "gwdl", "softmax": True}))
+        with pytest.raises(ValueError, match="softmax"):
+            make_criterion(
+                ConfigNode({"name": "gwdl", "sigmoid": True, "distance_matrix": [[0.0]]})
+            )
+        with pytest.raises(ValueError, match="zero diagonal"):
+            make_criterion(
+                ConfigNode(
+                    {"name": "gwdl", "softmax": True,
+                     "distance_matrix": [[0.1, 1.0], [1.0, 0.0]]}
+                )
+            )
+        with pytest.raises(ValueError, match="unknown criterion"):
+            make_criterion(ConfigNode({"name": "nope", "sigmoid": True}))
