@@ -163,6 +163,14 @@ class SegTrainer(TrainerBase):
 
                 per_sample = per_sample_of(logits, lbl)
                 if ds_levels:
+                    missing = [f"ds{k + 1}" for k in range(len(ds_factors)) if f"ds{k + 1}" not in inter]
+                    if missing:
+                        raise ValueError(
+                            f"[SegTrainer] model.deep_supervision={ds_levels} but the "
+                            f"model sowed no {missing} intermediates — the selected "
+                            "model does not implement deep supervision (models/"
+                            "unet3d.py does; set model.deep_supervision=0 for others)"
+                        )
                     per_sample = ds_weights[0] * per_sample
                     for k, f in enumerate(ds_factors):
                         aux = inter[f"ds{k + 1}"][0]

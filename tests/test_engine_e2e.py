@@ -328,3 +328,31 @@ class TestDeterminism:
         a = run("a")
         b = run("b")
         assert a == b, f"non-deterministic training: {a} vs {b}"
+
+
+class TestDeepSupervisionValidation:
+    def test_non_ds_model_raises_clearly(self, hecktor_manifest, tmp_path):
+        """model.deep_supervision with a model that sows no aux heads fails
+        at trace time with an actionable message, not a KeyError."""
+        cfg = small_cfg(
+            hecktor_manifest,
+            tmp_path,
+            extra=[
+                "model=unet_multimodal_midfusion",
+                "model.num_modalities=2",
+                "model.num_classes=1",
+                "model.channels=[4,8,16,32,64]",
+                "model.deep_supervision=2",
+                "training.epochs=1",
+                "training.eval_test.do_val=false",
+                "training.eval_test.do_test=false",
+            ],
+        )
+        mgr = ExperimentManager(cfg)
+        mgr.setup_model()
+        mgr.setup_data("train")
+        mgr.setup_optimizer()
+        mgr.setup_scheduler()
+        mgr.setup_trainer(str(tmp_path / "run_ds_bad"))
+        with pytest.raises(ValueError, match="does not implement deep supervision"):
+            mgr.train(1)
