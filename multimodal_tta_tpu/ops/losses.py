@@ -336,11 +336,50 @@ def generalized_wasserstein_dice_loss(
     return jnp.mean(1.0 - wasserstein_dice)
 
 
+def gwdl_ce_loss(
+    logits: jnp.ndarray,
+    label: jnp.ndarray,
+    *,
+    distance_matrix,
+    background_index: int = 0,
+    smooth: float = 1e-5,
+    lambda_ce: float = 0.0,
+    ce_weight: Optional[Sequence[float]] = None,
+) -> jnp.ndarray:
+    """GWDL optionally combined with voxel CE: ``gwdl + lambda_ce * CE``.
+
+    Pure GWDL (lambda_ce=0, the paper's formulation and the default) can
+    rationally ABANDON a rare class whose transport cost to a neighbour is
+    cheap — measured on this framework: a 0.04%-voxel "core" class nested in
+    "edema" (d=0.5) collapses to Dice 0.0 while the severity-weighted error
+    improves (scripts/validate_gwdl.py; BASELINE.md GWDL section). The CE
+    term must be CLASS-WEIGHTED to counter this: unweighted CE is
+    voxel-mass-weighted like the transport sum and measured insufficient at
+    that prevalence, while lambda_ce=1 + ce_weight upweighting the rare
+    class beat plain DiceCE on rare-class Dice, neighbour Dice, AND
+    severity-weighted error simultaneously (same BASELINE table).
+    """
+    loss = generalized_wasserstein_dice_loss(
+        logits,
+        label,
+        distance_matrix,
+        background_index=background_index,
+        smooth=smooth,
+    )
+    if lambda_ce:
+        w = None if ce_weight is None else jnp.asarray(list(ce_weight), jnp.float32)
+        loss = loss + lambda_ce * softmax_cross_entropy(
+            logits.astype(jnp.float32), label.astype(jnp.int32), class_weight=w
+        )
+    return loss
+
+
 def make_gwdl_loss(crit_cfg) -> "partial":
     """Build a GWDL closure from ``training.criterion`` with
     ``name: gwdl``. Requires softmax mode (label maps) and an explicit
     ``distance_matrix`` (list of C rows) — there is no universal default;
-    the matrix encodes the task's label semantics."""
+    the matrix encodes the task's label semantics. Optional ``lambda_ce``
+    (default 0 = paper-pure) blends in voxel CE; see ``gwdl_ce_loss``."""
     from ..utils.config import get_config
 
     if bool(get_config(crit_cfg, "sigmoid", False)):
@@ -360,11 +399,14 @@ def make_gwdl_loss(crit_cfg) -> "partial":
     n = len(matrix)
     if any(len(r) != n for r in matrix) or any(matrix[i][i] != 0.0 for i in range(n)):
         raise ValueError("[criterion/gwdl] distance_matrix must be square with a zero diagonal")
+    ce_weight = get_config(crit_cfg, "ce_weight", None)
     return partial(
-        generalized_wasserstein_dice_loss,
+        gwdl_ce_loss,
         distance_matrix=matrix,
         background_index=int(get_config(crit_cfg, "background_index", 0)),
         smooth=float(get_config(crit_cfg, "smooth", 1e-5)),
+        lambda_ce=float(get_config(crit_cfg, "lambda_ce", 0.0)),
+        ce_weight=None if ce_weight is None else [float(x) for x in list(ce_weight)],
     )
 
 

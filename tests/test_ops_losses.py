@@ -262,6 +262,53 @@ class TestGWDL:
             self._loss(np.zeros((1, 2, 2, 2, 2), np.float32), np.zeros((1, 2, 2, 2), np.int32),
                        [[0.0, 1.0, 1.0], [1.0, 0.0, 1.0]])
 
+    def test_ce_hybrid(self):
+        """gwdl_ce_loss: lambda_ce=0 is EXACTLY pure GWDL; lambda_ce>0 is
+        exactly gwdl + lambda*CE (with class weights respected)."""
+        from multimodal_tta_tpu.ops.losses import (
+            generalized_wasserstein_dice_loss,
+            gwdl_ce_loss,
+            softmax_cross_entropy,
+        )
+
+        M = [[0.0, 1.0, 1.0], [1.0, 0.0, 0.5], [1.0, 0.5, 0.0]]
+        rs = np.random.RandomState(3)
+        logits = jnp.asarray(rs.randn(2, 4, 4, 4, 3), jnp.float32)
+        label = jnp.asarray(rs.randint(0, 3, (2, 4, 4, 4)), jnp.int32)
+        pure = float(generalized_wasserstein_dice_loss(logits, label, M))
+        assert float(gwdl_ce_loss(logits, label, distance_matrix=M)) == pure
+        w = [1.0, 1.0, 4.0]
+        got = float(
+            gwdl_ce_loss(logits, label, distance_matrix=M, lambda_ce=0.5, ce_weight=w)
+        )
+        want = pure + 0.5 * float(
+            softmax_cross_entropy(logits, label, class_weight=jnp.asarray(w))
+        )
+        assert got == pytest.approx(want, rel=1e-6)
+
+    def test_ce_hybrid_via_criterion(self):
+        from multimodal_tta_tpu.ops.losses import make_criterion
+
+        cfg = ConfigNode(
+            {
+                "name": "gwdl",
+                "softmax": True,
+                "distance_matrix": [[0.0, 1.0], [1.0, 0.0]],
+                "lambda_ce": 1.0,
+                "ce_weight": [1.0, 2.0],
+            }
+        )
+        fn = make_criterion(cfg)
+        lg = jnp.asarray(np.random.RandomState(0).randn(1, 4, 4, 4, 2), jnp.float32)
+        lb = jnp.ones((1, 4, 4, 4), jnp.int32)
+        base = make_criterion(
+            ConfigNode(
+                {"name": "gwdl", "softmax": True,
+                 "distance_matrix": [[0.0, 1.0], [1.0, 0.0]]}
+            )
+        )
+        assert float(fn(lg, lb)) > float(base(lg, lb))
+
 
 class TestCriterionDispatch:
     def test_default_is_dice_ce(self):
