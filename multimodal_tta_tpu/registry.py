@@ -30,11 +30,19 @@ from typing import Callable, Dict, List, Optional, Type
 
 
 class Registry:
-    """A simple name -> class mapping with decorator registration."""
+    """A simple name -> class mapping with decorator registration.
 
-    def __init__(self, name: str):
+    ``auto_import`` names the package whose import populates this registry
+    (registration is an import side effect); a failed ``get`` imports it
+    once and retries, so callers that reach a registry through
+    ``get_<kind>()`` alone don't silently depend on some OTHER module
+    having imported the registering package first.
+    """
+
+    def __init__(self, name: str, auto_import: Optional[str] = None):
         self.name = name
         self._registry: Dict[str, Type] = {}
+        self._auto_import = auto_import
 
     def _bind(self, name: str, cls: Type) -> Type:
         prior = self._registry.get(name)
@@ -57,6 +65,12 @@ class Registry:
         try:
             return self._registry[name]
         except KeyError:
+            if self._auto_import is not None:
+                mod, self._auto_import = self._auto_import, None
+                import importlib
+
+                importlib.import_module(mod)
+                return self.get(name)
             raise KeyError(
                 f"'{name}' is not registered in {self.name}. "
                 f"Available: {sorted(self._registry.keys())}"
@@ -92,7 +106,21 @@ _KINDS: Dict[str, str] = {
     "tta_method": "tta_methods",
 }
 
-_REGISTRIES: Dict[str, Registry] = {plural: Registry(plural) for plural in _KINDS.values()}
+# Package whose import populates each registry (see Registry.get's lazy
+# retry). CRITERIA/PROVIDERS/PLUGINS have no registering package — they are
+# vestigial in the reference too.
+_AUTO_IMPORT: Dict[str, str] = {
+    "models": "multimodal_tta_tpu.models",
+    "datasets": "multimodal_tta_tpu.data",
+    "dataset_builders": "multimodal_tta_tpu.data",
+    "evaluation_strategies": "multimodal_tta_tpu.evaluation",
+    "tta_methods": "multimodal_tta_tpu.tta",
+}
+
+_REGISTRIES: Dict[str, Registry] = {
+    plural: Registry(plural, auto_import=_AUTO_IMPORT.get(plural))
+    for plural in _KINDS.values()
+}
 
 # Global registry objects under the reference's ALL_CAPS names.
 globals().update({plural.upper(): reg for plural, reg in _REGISTRIES.items()})

@@ -99,3 +99,21 @@ class TestTTAEngineConfigPaths:
         )
         with pytest.raises(KeyError):
             TTAEngine(cfg, mesh=None)
+
+
+def test_retain_host_memory_idempotent():
+    """The glibc allocator policy applies on linux, is idempotent, and
+    normal large-array allocation keeps working under it."""
+    import numpy as np
+
+    from multimodal_tta_tpu.utils.host_alloc import retain_host_memory
+
+    first = retain_host_memory()
+    assert retain_host_memory() == first  # cached, no re-mallopt
+    import sys
+
+    if sys.platform.startswith("linux"):
+        assert first is True
+    a = np.zeros(2_000_000, np.float32)  # > mmap threshold before the policy
+    a[::1024] = 1.0
+    assert float(a.sum()) > 0
