@@ -215,10 +215,20 @@ class CottaAdapter(TentAdapter):
                 if n_views > 1:
                     spatial = tuple(range(1, image.ndim - 1))
                     combos = flip_combos(spatial)[1:] if aug_flip else ()
+                    x_seq = image
                     for i, k in enumerate(jax.random.split(key, n_views - 1)):
+                        # the views are independent of each other, so XLA's
+                        # scheduler may otherwise overlap their forwards and
+                        # keep several activation sets live at once — at
+                        # whole-volume batch 8 that overflowed one chip's HBM
+                        # by 4.5 MB. Threading the input through a barrier
+                        # with the running sum serializes the forwards:
+                        # peak memory holds ONE view, wall time is unchanged
+                        # (a single chip runs them back-to-back anyway).
+                        p, x_seq = jax.lax.optimization_barrier((p, x_seq))
                         k_int, k_noise = jax.random.split(k)
                         xv = rand_intensity_scale_shift(
-                            k_int, image, scale=aug_scale, shift=aug_shift, prob=1.0
+                            k_int, x_seq, scale=aug_scale, shift=aug_shift, prob=1.0
                         )
                         if aug_noise > 0.0:
                             xv = xv + aug_noise * jax.random.normal(
