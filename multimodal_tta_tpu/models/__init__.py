@@ -19,6 +19,7 @@ from .vit import ViT, get_vit_model  # noqa: F401 (registers vit_b_16..h_14)
 from .efficientnet import EfficientNet  # noqa: F401 (registers efficientnet_b0..v2_l)
 from .mogvae import VAEDeltaMoG  # noqa: F401 (registers vae_delta_mog)
 from .unet3d_ws import UNet3DWS  # noqa: F401 (registers unet_ws, experimental)
+from .unetr import UNETR  # noqa: F401 (registers unetr)
 from .unet_multimodal_latefusion import MultimodalUNetLateFusion  # noqa: F401 (registers unet_multimodal_late/_mid)
 
 __all__ = [

@@ -201,3 +201,162 @@ class TestUNetWS:
         v = m.init(rng_key, x)
         g = _jax.grad(lambda p: jnp.mean(m.apply({"params": p}, x) ** 2))(v["params"])
         assert all(np.isfinite(np.asarray(l)).all() for l in _jax.tree_util.tree_leaves(g))
+
+
+class TestUNETR:
+    """UNETR (models/unetr.py): 3D ViT encoder + conv decoder over token
+    skips. Beyond-reference family — the reference has conv UNets only
+    (reference src/models/unet.py); output contract matches UNet3D so the
+    whole seg/TTA engine applies unchanged."""
+
+    TINY = dict(patch_size=4, hidden_size=32, mlp_dim=64, num_heads=4,
+                num_layers=4, feature_size=4)
+
+    def _model(self, **kw):
+        from multimodal_tta_tpu.models.unetr import UNETR
+
+        args = dict(in_channels=2, num_classes=1, **self.TINY)
+        args.update(kw)
+        return UNETR(**args)
+
+    def test_registered(self):
+        from multimodal_tta_tpu.models.unetr import UNETR
+
+        assert get_model("unetr") is UNETR
+
+    def test_from_config(self):
+        cfg = ConfigNode(
+            {"in_channels": 4, "num_classes": 3, "patch_size": 8,
+             "hidden_size": 48, "num_layers": 6, "feature_size": 8}
+        )
+        m = get_model("unetr").from_config(cfg, dtype=jnp.bfloat16, remat=2)
+        assert m.in_channels == 4 and m.patch_size == 8 and m.num_layers == 6
+        assert m.dtype == jnp.bfloat16 and m.remat == 2
+
+    def test_forward_shape_and_dtype(self, rng_key):
+        m = self._model(num_classes=3)
+        x = jnp.zeros((2, 16, 16, 16, 2))
+        v = m.init(rng_key, x, train=True)
+        y = m.apply(v, x, train=False)
+        assert y.shape == (2, 16, 16, 16, 3)
+        assert y.dtype == jnp.float32
+        assert "batch_stats" not in v  # INSTANCE norm decoder is stateless
+
+    def test_anisotropic_input(self, rng_key):
+        m = self._model()
+        x = jnp.zeros((1, 8, 16, 12, 2))
+        v = m.init(rng_key, x)
+        assert m.apply(v, x).shape == (1, 8, 16, 12, 1)
+
+    def test_jit_and_grad(self, rng_key):
+        m = self._model(in_channels=1)
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 16, 16, 1), jnp.float32)
+        v = m.init(rng_key, x)
+
+        @jax.jit
+        def loss_fn(params, x):
+            return jnp.mean(m.apply({"params": params}, x) ** 2)
+
+        g = jax.grad(loss_fn)(v["params"], x)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        assert any(float(jnp.sum(jnp.abs(l))) > 0 for l in leaves)
+
+    def test_remat_matches_plain(self, rng_key):
+        m = self._model()
+        x = jnp.asarray(np.random.RandomState(1).randn(1, 16, 16, 16, 2), jnp.float32)
+        v = m.init(rng_key, x)
+        y = m.apply(v, x)
+        for r in (True, 2):
+            y_r = m.clone(remat=r).apply(v, x)
+            np.testing.assert_array_equal(np.asarray(y_r), np.asarray(y))
+
+    def test_indivisible_spatial_raises(self, rng_key):
+        m = self._model()
+        with pytest.raises(ValueError, match="divisible by patch_size"):
+            m.init(rng_key, jnp.zeros((1, 18, 16, 16, 2)))
+
+    def test_wrong_channels_raises(self, rng_key):
+        m = self._model()
+        with pytest.raises(ValueError, match="input channels"):
+            m.init(rng_key, jnp.zeros((1, 16, 16, 16, 3)))
+
+    def test_bad_layer_count_raises(self, rng_key):
+        m = self._model(num_layers=5)  # patch 4 -> 2 levels; 5 % 2 != 0
+        with pytest.raises(ValueError, match="divisible"):
+            m.init(rng_key, jnp.zeros((1, 16, 16, 16, 2)))
+
+    def test_bad_patch_size_raises(self, rng_key):
+        m = self._model(patch_size=6)
+        with pytest.raises(ValueError, match="power of two"):
+            m.init(rng_key, jnp.zeros((1, 12, 12, 12, 2)))
+
+    def test_norm_mask_tags_ln_and_in(self, rng_key):
+        """Tent's structural norm tagging must pick up BOTH the encoder
+        LayerNorms and the decoder InstanceNorms with no model-specific
+        code, and must NOT tag attention/MLP kernels."""
+        from multimodal_tta_tpu.tta import norm_param_mask
+
+        m = self._model()
+        v = m.init(rng_key, jnp.zeros((1, 16, 16, 16, 2)), train=True)
+        mask = norm_param_mask(v["params"])
+        flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+        tagged = {jax.tree_util.keystr(p) for p, val in flat if val}
+        untagged = {jax.tree_util.keystr(p) for p, val in flat if not val}
+        assert any("block0" in k and "LayerNorm" in k for k in tagged), tagged
+        assert any("dec0_conv0" in k for k in tagged)
+        assert any("encoder_ln" in k for k in tagged)
+        assert all("attention" not in k.lower() or "LayerNorm" in k for k in tagged)
+        assert any("patch_embed" in k for k in untagged)
+
+    def test_tent_adapts(self, rng_key):
+        """The full TTA engine runs on UNETR unchanged: entropy finite,
+        norm params move, everything else frozen."""
+        import optax
+
+        from multimodal_tta_tpu.core.train_state import TrainState
+        from multimodal_tta_tpu.registry import get_tta_method
+
+        m = self._model()
+        x0 = jnp.zeros((1, 16, 16, 16, 2))
+        v = m.init(rng_key, x0, train=True)
+        state = TrainState.create(
+            apply_fn=m.apply, params=v["params"],
+            batch_stats=v.get("batch_stats", {}), tx=optax.identity(),
+        )
+        cfg = ConfigNode(
+            {"task": {"seed": 0}, "training": {"criterion": {"sigmoid": True}},
+             "tta": {"method": "tent", "steps": 2, "lr": 1e-2, "optimizer": "sgd",
+                     "momentum": 0.9, "update": "norm", "episodic": True}}
+        )
+        adapter = get_tta_method("tent")(cfg.tta, config=cfg, mesh=None)
+        adapt_fn = adapter.make_adapt_fn(state)
+        img = jnp.asarray(np.random.RandomState(2).randn(2, 16, 16, 16, 2), jnp.float32)
+        adapted = adapt_fn(state, img, 2)
+        assert np.isfinite(adapter.last_entropy)
+        moved = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), adapted.params, state.params
+        )
+        flat = jax.tree_util.tree_flatten_with_path(moved)[0]
+        assert any(d > 0 for _, d in flat), "no params moved"
+        frozen_moved = [
+            jax.tree_util.keystr(p) for p, d in flat
+            if d > 0 and ("patch_embed" in jax.tree_util.keystr(p)
+                          or "head" in jax.tree_util.keystr(p).split("/")[-1])
+        ]
+        assert not frozen_moved, frozen_moved
+
+    def test_sequence_parallel_matches_unsharded(self, rng_key):
+        """seq_shard_axis='space': 64 tokens shard 16/device over the space
+        axis; logits match the unsharded layout."""
+        from multimodal_tta_tpu.parallel.mesh import make_mesh
+
+        plain = self._model()
+        sharded = self._model(seq_shard_axis="space")
+        x = jnp.asarray(np.random.RandomState(3).randn(1, 16, 16, 16, 2), jnp.float32)
+        v = plain.init(rng_key, x)
+        ref = plain.apply(v, x)
+        mesh = make_mesh(jax.devices()[:8], data=2, space=4)
+        with mesh:
+            y = jax.jit(lambda v, x: sharded.apply(v, x, train=False))(v, x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=3e-5)
