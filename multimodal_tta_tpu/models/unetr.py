@@ -21,6 +21,9 @@ TPU-first design:
     models/vit.py (``seq_shard_axis="space"`` under an ambient mesh); the
     decoder convs inherit the framework's data x space activation pins from
     the shared ConvBlock/TransposedConvUp blocks.
+  - Tensor parallelism: ``tp_axis="model"`` shards attention heads and the
+    MLP hidden dimension over the mesh ``model`` axis (Megatron-style, via
+    the shared EncoderBlock; see tests/test_tp.py).
 
 Output contract matches UNet3D ([B, D, H, W, num_classes] fp32 logits), so
 SegTrainer, seg_eval, sliding-window inference and every TTA method apply
@@ -85,6 +88,7 @@ class UNETR(nn.Module):
     dtype: Any = jnp.float32
     remat: Any = False  # False | True | int (n highest-res decoder levels)
     seq_shard_axis: Optional[str] = None
+    tp_axis: Optional[str] = None  # mesh axis for tensor (head/MLP) parallelism
 
     @classmethod
     def from_config(cls, cfg, **overrides) -> "UNETR":
@@ -101,6 +105,7 @@ class UNETR(nn.Module):
             act=str(get_config(cfg, "act", "RELU")),
             dropout=float(get_config(cfg, "dropout", 0.0)),
             seq_shard_axis=get_config(cfg, "seq_shard_axis", None),
+            tp_axis=get_config(cfg, "tp_axis", None),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -170,6 +175,7 @@ class UNETR(nn.Module):
                 self.mlp_dim,
                 self.dropout,
                 dtype=self.dtype,
+                tp_axis=self.tp_axis,
                 name=f"block{i}",
             )
             # transformer activations are tiny next to the decoder's; remat

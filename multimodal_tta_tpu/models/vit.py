@@ -71,23 +71,81 @@ _SPECS = {
 }
 
 
+def _maybe_shard_heads(x: jnp.ndarray, axis: Optional[str]) -> jnp.ndarray:
+    """Constrain [B, N, heads, head_dim] to shard heads over mesh axis
+    ``axis`` (tensor parallelism); graceful no-op without a matching mesh."""
+    if not axis:
+        return x
+    from ..parallel.mesh import constrain
+
+    return constrain(x, PartitionSpec(None, None, axis, None))
+
+
+class SelfAttention(nn.Module):
+    """Multi-head self-attention with the exact param tree of
+    ``nn.MultiHeadDotProductAttention`` (query/key/value DenseGeneral
+    [H, heads, hd] + out DenseGeneral [heads, hd, H] — ported torchvision
+    checkpoints load unchanged), hand-rolled so tensor parallelism can pin
+    the head dimension to a mesh axis: with ``tp_axis="model"`` the q/k/v
+    projections, the attention einsums, and the context tensor all shard
+    over heads (Megatron-style — each device computes its head group; the
+    only collective is the reduce XLA inserts for the out-projection)."""
+
+    hidden: int
+    heads: int
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+    tp_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        if self.hidden % self.heads:
+            raise ValueError(f"hidden {self.hidden} not divisible by heads {self.heads}")
+        hd = self.hidden // self.heads
+        proj = lambda name: nn.DenseGeneral(  # noqa: E731
+            features=(self.heads, hd), axis=-1, dtype=self.dtype, name=name
+        )
+        q = _maybe_shard_heads(proj("query")(x), self.tp_axis)
+        k = _maybe_shard_heads(proj("key")(x), self.tp_axis)
+        v = _maybe_shard_heads(proj("value")(x), self.tp_axis)
+        q = q / jnp.sqrt(jnp.asarray(hd, q.dtype))
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+        attn = jax.nn.softmax(attn, axis=-1)
+        if self.dropout > 0.0:
+            attn = nn.Dropout(rate=self.dropout)(attn, deterministic=not train)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        ctx = _maybe_shard_heads(ctx, self.tp_axis)
+        return nn.DenseGeneral(
+            features=self.hidden, axis=(-2, -1), dtype=self.dtype, name="out"
+        )(ctx)
+
+
 class EncoderBlock(nn.Module):
     hidden: int
     heads: int
     mlp_dim: int
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    tp_axis: Optional[str] = None  # mesh axis for tensor parallelism
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         y = nn.LayerNorm(dtype=self.dtype)(x)
-        y = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads, dtype=self.dtype, deterministic=not train,
-            dropout_rate=self.dropout,
-        )(y, y)
+        # name pinned to flax's auto-name so pre-TP checkpoints/porters load
+        y = SelfAttention(
+            self.hidden, self.heads, self.dropout, dtype=self.dtype,
+            tp_axis=self.tp_axis, name="MultiHeadDotProductAttention_0",
+        )(y, train=train)
         x = x + y
         y = nn.LayerNorm(dtype=self.dtype)(x)
         y = nn.Dense(self.mlp_dim, dtype=self.dtype)(y)
+        if self.tp_axis:
+            from ..parallel.mesh import constrain
+
+            # Megatron MLP split: hidden features over the model axis — the
+            # two Dense matmuls each run 1/tp of the FLOPs per device and the
+            # second one reduce-scatters/all-reduces back to the full H.
+            y = constrain(y, PartitionSpec(None, None, self.tp_axis))
         # exact (erf) GELU — torchvision's default; the tanh approximation
         # would break ported-weight forward parity at the 1e-3 level
         y = nn.gelu(y, approximate=False)
@@ -102,6 +160,7 @@ class ViT(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
     seq_shard_axis: Optional[str] = None  # mesh axis for sequence parallelism
+    tp_axis: Optional[str] = None  # mesh axis for tensor (head/MLP) parallelism
     # explicit topology overrides (default: from _SPECS by variant; settable
     # so tests can build tiny torchvision-naming-compatible configs)
     patch: Optional[int] = None
@@ -118,6 +177,7 @@ class ViT(nn.Module):
             image_size=int(get_config(cfg, "image_size", 224)),
             dropout=float(get_config(cfg, "dropout", 0.0)),
             seq_shard_axis=get_config(cfg, "seq_shard_axis", None),
+            tp_axis=get_config(cfg, "tp_axis", None),
         )
         kw.update(overrides)
         kw.pop("remat", None)
@@ -147,7 +207,7 @@ class ViT(nn.Module):
 
         x = _maybe_shard_seq(x, self.seq_shard_axis)
         for i in range(depth):
-            x = EncoderBlock(hidden, heads, mlp_dim, self.dropout, dtype=self.dtype, name=f"block{i}")(x, train=train)
+            x = EncoderBlock(hidden, heads, mlp_dim, self.dropout, dtype=self.dtype, tp_axis=self.tp_axis, name=f"block{i}")(x, train=train)
             x = _maybe_shard_seq(x, self.seq_shard_axis)
 
         x = nn.LayerNorm(dtype=self.dtype, name="final_ln")(x)

@@ -1,6 +1,7 @@
 from .distributed import is_primary_host, maybe_initialize_distributed  # noqa: F401
 from .mesh import (  # noqa: F401
     DATA_AXIS,
+    MODEL_AXIS,
     SPACE_AXIS,
     batch_sharding,
     make_mesh,
@@ -15,6 +16,7 @@ __all__ = [
     "is_primary_host",
     "maybe_initialize_distributed",
     "DATA_AXIS",
+    "MODEL_AXIS",
     "SPACE_AXIS",
     "batch_sharding",
     "make_mesh",

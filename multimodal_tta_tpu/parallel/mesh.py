@@ -24,6 +24,7 @@ from ..utils.logger import get_logger
 
 DATA_AXIS = "data"
 SPACE_AXIS = "space"
+MODEL_AXIS = "model"
 
 
 def ambient_axes() -> Dict[str, Tuple[int, bool]]:
@@ -126,17 +127,27 @@ def make_mesh(
     *,
     data: int = -1,
     space: int = 1,
+    model: int = 1,
 ) -> Mesh:
-    """Build a (data, space) mesh. data=-1 consumes all remaining devices."""
+    """Build a (data, space[, model]) mesh. data=-1 consumes all remaining
+    devices. The ``model`` axis (tensor parallelism: transformer heads / MLP
+    hidden sharded Megatron-style) is only materialized when model > 1 so the
+    common dp×sp meshes keep their 2-axis shape."""
     devices = list(devices) if devices is not None else jax.devices()
     n = len(devices)
     space = max(1, int(space))
-    if n % space != 0:
-        raise ValueError(f"device count {n} not divisible by space={space}")
+    model = max(1, int(model))
+    if n % (space * model) != 0:
+        raise ValueError(
+            f"device count {n} not divisible by space*model={space}*{model}"
+        )
     if data == -1:
-        data = n // space
-    if data * space != n:
-        raise ValueError(f"mesh {data}x{space} != {n} devices")
+        data = n // (space * model)
+    if data * space * model != n:
+        raise ValueError(f"mesh {data}x{space}x{model} != {n} devices")
+    if model > 1:
+        arr = np.asarray(devices).reshape(data, space, model)
+        return Mesh(arr, (DATA_AXIS, SPACE_AXIS, MODEL_AXIS))
     arr = np.asarray(devices).reshape(data, space)
     return Mesh(arr, (DATA_AXIS, SPACE_AXIS))
 
@@ -147,7 +158,8 @@ def mesh_from_config(config) -> Mesh:
     mcfg = get_config(tcfg, "mesh", None) if tcfg is not None else None
     data = int(get_config(mcfg, "data", -1)) if mcfg is not None else -1
     space = int(get_config(mcfg, "space", 1)) if mcfg is not None else 1
-    mesh = make_mesh(devs, data=data, space=space)
+    model = int(get_config(mcfg, "model", 1)) if mcfg is not None else 1
+    mesh = make_mesh(devs, data=data, space=space, model=model)
     get_logger().info(
         f"Device mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))} over "
         f"{mesh.devices.size} {mesh.devices.flat[0].platform} device(s)"
