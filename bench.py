@@ -110,19 +110,29 @@ def build_adapter_state(predict_mode: str = "post", episodic: bool = True):
 
     # BENCH_MODEL=unet_ws benches the validated speed/quality trade
     # (space-to-depth stem, 2.14x faster forward at -0.02 val Dice —
-    # BASELINE.md); the headline stays the flagship "unet"
-    model_cls = get_model(os.environ.get("BENCH_MODEL", "unet"))
-    model = model_cls(
-        in_channels=2,
-        num_classes=1,
-        channels=(32, 64, 128, 256, 512),
-        strides=(2, 2, 2, 2),
-        num_res_units=2,
-        norm="INSTANCE",
-        act="RELU",
-        dtype=jnp.bfloat16,
-        remat=_parse_remat(os.environ.get("BENCH_REMAT", "false")),
-    )
+    # BASELINE.md); BENCH_MODEL=unetr / swin_unetr bench the transformer
+    # families at their paper configurations; the headline stays "unet"
+    name = os.environ.get("BENCH_MODEL", "unet")
+    model_cls = get_model(name)
+    if name in ("unetr", "swin_unetr"):
+        model = model_cls(
+            in_channels=2,
+            num_classes=1,
+            dtype=jnp.bfloat16,
+            remat=_parse_remat(os.environ.get("BENCH_REMAT", "false")),
+        )
+    else:
+        model = model_cls(
+            in_channels=2,
+            num_classes=1,
+            channels=(32, 64, 128, 256, 512),
+            strides=(2, 2, 2, 2),
+            num_res_units=2,
+            norm="INSTANCE",
+            act="RELU",
+            dtype=jnp.bfloat16,
+            remat=_parse_remat(os.environ.get("BENCH_REMAT", "false")),
+        )
     x0 = jnp.zeros((BATCH,) + SHAPE, jnp.float32)
     variables = jax.jit(lambda k, x: model.init(k, x, train=False))(jax.random.PRNGKey(0), x0)
     state = TrainState.create(
