@@ -3,6 +3,7 @@ from .mesh import (  # noqa: F401
     DATA_AXIS,
     MODEL_AXIS,
     SPACE_AXIS,
+    STAGE_AXIS,
     batch_sharding,
     make_mesh,
     mesh_from_config,
@@ -11,6 +12,11 @@ from .mesh import (  # noqa: F401
     select_devices,
     shard_batch,
 )
+from .pipeline import (  # noqa: F401
+    pipeline_apply,
+    stack_layer_params,
+    vit_forward_pipelined,
+)
 
 __all__ = [
     "is_primary_host",
@@ -18,6 +24,10 @@ __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
     "SPACE_AXIS",
+    "STAGE_AXIS",
+    "pipeline_apply",
+    "stack_layer_params",
+    "vit_forward_pipelined",
     "batch_sharding",
     "make_mesh",
     "mesh_from_config",

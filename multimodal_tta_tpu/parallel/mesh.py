@@ -25,6 +25,7 @@ from ..utils.logger import get_logger
 DATA_AXIS = "data"
 SPACE_AXIS = "space"
 MODEL_AXIS = "model"
+STAGE_AXIS = "stage"
 
 
 def ambient_axes() -> Dict[str, Tuple[int, bool]]:
@@ -128,28 +129,38 @@ def make_mesh(
     data: int = -1,
     space: int = 1,
     model: int = 1,
+    stage: int = 1,
 ) -> Mesh:
-    """Build a (data, space[, model]) mesh. data=-1 consumes all remaining
-    devices. The ``model`` axis (tensor parallelism: transformer heads / MLP
-    hidden sharded Megatron-style) is only materialized when model > 1 so the
-    common dp×sp meshes keep their 2-axis shape."""
+    """Build a (data, space[, model][, stage]) mesh. data=-1 consumes all
+    remaining devices. The ``model`` axis (tensor parallelism: transformer
+    heads / MLP hidden sharded Megatron-style) and the ``stage`` axis
+    (pipeline parallelism: transformer layer groups, parallel/pipeline.py)
+    are only materialized when > 1 so the common dp×sp meshes keep their
+    2-axis shape. ``stage`` is the LAST axis: reshape order makes
+    stage-neighbors adjacent in the device list, so the pipeline's ppermute
+    hops ride nearest-neighbor ICI links."""
     devices = list(devices) if devices is not None else jax.devices()
     n = len(devices)
     space = max(1, int(space))
     model = max(1, int(model))
-    if n % (space * model) != 0:
+    stage = max(1, int(stage))
+    per_data = space * model * stage
+    if n % per_data != 0:
         raise ValueError(
-            f"device count {n} not divisible by space*model={space}*{model}"
+            f"device count {n} not divisible by space*model*stage="
+            f"{space}*{model}*{stage}"
         )
     if data == -1:
-        data = n // (space * model)
-    if data * space * model != n:
-        raise ValueError(f"mesh {data}x{space}x{model} != {n} devices")
+        data = n // per_data
+    if data * per_data != n:
+        raise ValueError(f"mesh {data}x{space}x{model}x{stage} != {n} devices")
+    dims = [(DATA_AXIS, data), (SPACE_AXIS, space)]
     if model > 1:
-        arr = np.asarray(devices).reshape(data, space, model)
-        return Mesh(arr, (DATA_AXIS, SPACE_AXIS, MODEL_AXIS))
-    arr = np.asarray(devices).reshape(data, space)
-    return Mesh(arr, (DATA_AXIS, SPACE_AXIS))
+        dims.append((MODEL_AXIS, model))
+    if stage > 1:
+        dims.append((STAGE_AXIS, stage))
+    arr = np.asarray(devices).reshape([d for _, d in dims])
+    return Mesh(arr, tuple(name for name, _ in dims))
 
 
 def mesh_from_config(config) -> Mesh:
@@ -159,7 +170,8 @@ def mesh_from_config(config) -> Mesh:
     data = int(get_config(mcfg, "data", -1)) if mcfg is not None else -1
     space = int(get_config(mcfg, "space", 1)) if mcfg is not None else 1
     model = int(get_config(mcfg, "model", 1)) if mcfg is not None else 1
-    mesh = make_mesh(devs, data=data, space=space, model=model)
+    stage = int(get_config(mcfg, "stage", 1)) if mcfg is not None else 1
+    mesh = make_mesh(devs, data=data, space=space, model=model, stage=stage)
     get_logger().info(
         f"Device mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))} over "
         f"{mesh.devices.size} {mesh.devices.flat[0].platform} device(s)"
