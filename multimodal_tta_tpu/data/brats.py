@@ -216,6 +216,20 @@ class BratsMultiSourceNiftiDataset:
     def __len__(self) -> int:
         return len(self._index)
 
+    def source_geometry(self, idx: int):
+        """(canonical RAS+ affine, (X,Y,Z) shape) of the case's grid, from the
+        first modality volume's header — the geometry predictions are written
+        back into. Header-only (no voxel decode)."""
+        from .nifti import peek_canonical_geometry
+
+        src, case_id, info = self._index[idx]
+        path = info["modalities"][self.modality_order[0]]
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"[BraTS] Missing image file for geometry: {path} (case={case_id})"
+            )
+        return peek_canonical_geometry(path)
+
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         src, case_id, info = self._index[idx]
 

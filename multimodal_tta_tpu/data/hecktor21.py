@@ -264,6 +264,17 @@ class Hecktor21Dataset:
     def __len__(self) -> int:
         return len(self._rows)
 
+    def source_geometry(self, idx: int):
+        """(canonical RAS+ affine, (X,Y,Z) shape) of the case's CT grid —
+        the geometry predictions must be written back into. Header-only."""
+        from .nifti import peek_canonical_geometry
+
+        sc = self.schema
+        info = self._rows[idx]
+        case_id = str(info.get(sc.patient))
+        ct_path = self._file_of(info, sc.ct, "CT", case_id)
+        return peek_canonical_geometry(ct_path)
+
     # -- per-sample assembly -------------------------------------------------
 
     def _file_of(self, info: Dict[str, Any], column: str, kind: str, case_id: str,

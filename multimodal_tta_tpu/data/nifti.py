@@ -308,18 +308,34 @@ def apply_orientation_to_canonical(arr: np.ndarray, affine: np.ndarray) -> Tuple
     extra = list(range(3, arr.ndim))
     arr = np.transpose(arr, perm + extra)
 
-    # update the affine: new_affine = affine @ inv(transform applied to indices)
-    T = np.eye(4)
-    for in_ax in range(3):
-        out_ax = int(ornt[in_ax, 0])
-        sign = ornt[in_ax, 1]
-        T[:3, :][in_ax, :] = 0
-    # Build the index transform old_index = M @ new_index + t
+    # update the affine: new_affine = affine @ (index transform old<-new)
+    new_affine, _ = canonical_geometry(affine, shape)
+    return np.ascontiguousarray(arr), new_affine
+
+
+def as_closest_canonical(img: NiftiImage) -> NiftiImage:
+    arr, aff = apply_orientation_to_canonical(np.asarray(img.dataobj), img.affine)
+    return NiftiImage(arr, aff, img.header)
+
+
+def canonical_geometry(affine: np.ndarray, shape_xyz: Tuple[int, int, int]) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+    """Affine+shape of the RAS+-reoriented volume WITHOUT touching voxels.
+
+    Mirrors apply_orientation_to_canonical's affine math (same ornt, same
+    index transform) so a writer can reconstruct the exact geometry the
+    datasets fed downstream from just the on-disk header.
+    """
+    affine = np.asarray(affine, dtype=np.float64)
+    ornt = io_orientation(affine)
+    shape = tuple(int(s) for s in shape_xyz[:3])
+
     M = np.zeros((3, 3))
     t = np.zeros(3)
+    new_shape = [0, 0, 0]
     for in_ax in range(3):
         out_ax = int(ornt[in_ax, 0])
         sign = ornt[in_ax, 1]
+        new_shape[out_ax] = shape[in_ax]
         if sign >= 0:
             M[in_ax, out_ax] = 1.0
         else:
@@ -328,13 +344,25 @@ def apply_orientation_to_canonical(arr: np.ndarray, affine: np.ndarray) -> Tuple
     full = np.eye(4)
     full[:3, :3] = M
     full[:3, 3] = t
-    new_affine = affine @ full
-    return np.ascontiguousarray(arr), new_affine
+    return affine @ full, tuple(new_shape)
 
 
-def as_closest_canonical(img: NiftiImage) -> NiftiImage:
-    arr, aff = apply_orientation_to_canonical(np.asarray(img.dataobj), img.affine)
-    return NiftiImage(arr, aff, img.header)
+def peek_canonical_geometry(path: str) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+    """Header-only read: (canonical RAS+ affine, canonical (X,Y,Z) shape).
+
+    Reads just the 348-byte NIfTI-1 header (streamed for .gz), so geometry
+    recovery for prediction export costs no voxel decode.
+    """
+    with _open_maybe_gz(path, "rb") as f:
+        hdr = f.read(_HDR_SIZE)
+    h = _parse_header(hdr)
+    ndim = h.dim[0]
+    if not 1 <= ndim <= 7:
+        raise ValueError(f"Bad ndim in NIfTI header: {ndim}")
+    shape = tuple(int(d) for d in h.dim[1:4]) if ndim >= 3 else tuple(
+        list(h.dim[1 : 1 + ndim]) + [1] * (3 - ndim)
+    )
+    return canonical_geometry(_affine_from_header(h), shape)
 
 
 def load_canonical(path: str, dtype=np.float32) -> np.ndarray:

@@ -192,23 +192,23 @@ class SegmentationEvaluationStrategy:
         return current > best_metrics.get(name, float("-inf"))
 
     # ------------------------------------------------------------------
-    def _build_eval_step(self, mesh):
-        threshold = self.threshold
-        loss_fn = self.loss_fn
-        report_loss = self.report_loss
-        enable_surface = self.enable_surface
-        spacing = self.spacing
-        asd_symmetric = self.asd_symmetric
+    def _probs_fn(self, state):
+        """Trace-time closure: raw device image -> (logits, prob).
 
+        Single source of truth for the inference forward — upcast from the
+        compact transfer dtype, on-device normalization, sliding-window and
+        flip-TTA options — shared by the eval step and the prediction
+        exporter so exported masks are exactly the masks the evaluator
+        scores.
+        """
         sw_enable = self.sw_enable
         sw_roi, sw_overlap, sw_mode = self.sw_roi, self.sw_overlap, self.sw_mode
         flip_enable, flip_axes = self.flip_enable, self.flip_axes
         n_regions = len(self.region_order)
         norm_fn = self._norm_fn
 
-        def step(state, image, label):
+        def probs(image):
             image = image.astype(jnp.float32)  # upcast compact transfer dtypes
-            label = label.astype(jnp.float32)
             if norm_fn is not None:
                 image = jax.vmap(norm_fn)(image)
             variables = {"params": state.params}
@@ -242,6 +242,21 @@ class SegmentationEvaluationStrategy:
             else:
                 logits = forward(image)
                 prob = jax.nn.sigmoid(logits)
+            return logits, prob
+
+        return probs
+
+    def _build_eval_step(self, mesh):
+        threshold = self.threshold
+        loss_fn = self.loss_fn
+        report_loss = self.report_loss
+        enable_surface = self.enable_surface
+        spacing = self.spacing
+        asd_symmetric = self.asd_symmetric
+
+        def step(state, image, label):
+            label = label.astype(jnp.float32)
+            logits, prob = self._probs_fn(state)(image)
             pred = (prob >= threshold).astype(jnp.float32)
             gt = (label.astype(jnp.float32) > 0.5).astype(jnp.float32)
 

@@ -90,6 +90,31 @@ class TestAdaptCLI:
         assert "dom/CHUS/avg_dc" in metrics["adapted"]
 
 
+class TestPredictCLI:
+    def test_predict_export_run(self, fixture_env):
+        """predict.py writes per-case NIfTI masks + predictions.csv for the
+        test split, with TTA on (continual tent, predictions exported from
+        the adapted state)."""
+        proc = run_cli(
+            "predict.py",
+            common_overrides(fixture_env, "cli_predict")
+            + ["tta=tent", "tta.steps=1", "tta.episodic=false", "predict.save_prob=true"],
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        base = os.path.join(fixture_env["root"], "outputs", "cli_predict")
+        run_dir = os.path.join(base, sorted(os.listdir(base))[-1])
+        out_dir = os.path.join(run_dir, "predictions")
+        df = pd.read_csv(os.path.join(out_dir, "predictions.csv"))
+        # fixture: CHUS is the default target center -> its 3 cases are test
+        assert len(df) == 3
+        assert set(df["status"]) == {"ok"}
+        assert "voxels_gtvt" in df.columns
+        for _, row in df.iterrows():
+            for f in str(row["files"]).split(";"):
+                assert os.path.exists(os.path.join(out_dir, f))
+            assert os.path.exists(os.path.join(out_dir, str(row["prob_file"])))
+
+
 class TestSweepCLI:
     def test_sweep(self, fixture_env):
         proc = run_cli(
