@@ -115,12 +115,16 @@ def build_adapter_state(predict_mode: str = "post", episodic: bool = True):
     name = os.environ.get("BENCH_MODEL", "unet")
     model_cls = get_model(name)
     if name in ("unetr", "swin_unetr"):
-        model = model_cls(
+        kw = dict(
             in_channels=2,
             num_classes=1,
             dtype=jnp.bfloat16,
             remat=_parse_remat(os.environ.get("BENCH_REMAT", "false")),
         )
+        # BENCH_MOE=<E> benches the routed-expert UNETR variant (models/moe.py)
+        if name == "unetr" and os.environ.get("BENCH_MOE"):
+            kw["moe_experts"] = int(os.environ["BENCH_MOE"])
+        model = model_cls(**kw)
     else:
         model = model_cls(
             in_channels=2,

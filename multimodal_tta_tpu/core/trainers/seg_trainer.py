@@ -71,6 +71,13 @@ class SegTrainer(TrainerBase):
             int(s) for s in get_config(config, "model.strides", [2, 2, 2, 2])
         )
 
+        # MoE load-balance aux loss (models/moe.py): routed-expert models sow
+        # per-layer Switch aux scalars; the Switch recipe adds
+        # weight * mean(aux) to the task loss so the router learns to spread
+        # tokens (weight 0.01 is the Switch Transformer default).
+        self.moe_experts = int(get_config(config, "model.moe_experts", 0))
+        self.moe_aux_weight = float(get_config(config, "model.moe_aux_weight", 0.01))
+
         # device-side transform spec (from SegTransform.device_spec())
         self.device_transform = device_transform or {}
         self._norm_fn = None
@@ -104,6 +111,8 @@ class SegTrainer(TrainerBase):
         loss_fn = self.loss_fn
         sigmoid = self.sigmoid
         ds_levels = self.ds_levels
+        moe_on = self.moe_experts > 0
+        moe_w = self.moe_aux_weight
         ds_factors = []
         for i in range(1, ds_levels + 1):
             f = 1
@@ -143,7 +152,7 @@ class SegTrainer(TrainerBase):
                 if state.batch_stats:
                     variables["batch_stats"] = state.batch_stats
                     mutable.append("batch_stats")
-                if ds_levels:
+                if ds_levels or moe_on:
                     mutable.append("intermediates")
                 if mutable:
                     logits, updates = state.apply_fn(
@@ -182,6 +191,19 @@ class SegTrainer(TrainerBase):
                         )
                         per_sample = per_sample + ds_weights[k + 1] * per_sample_of(aux, lb_k)
                 loss = jnp.sum(per_sample * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+                if moe_on:
+                    from ...models.moe import collect_moe_aux
+
+                    aux = collect_moe_aux(inter)
+                    if not aux:
+                        raise ValueError(
+                            "[SegTrainer] model.moe_experts > 0 but the model "
+                            "sowed no moe_aux intermediates — the selected "
+                            "model has no MoE layers (models/unetr.py "
+                            "moe_experts does; set model.moe_experts=0 for "
+                            "others)"
+                        )
+                    loss = loss + moe_w * jnp.mean(jnp.stack(aux))
                 return loss, new_bs
 
             (loss, new_bs), grads = jax.value_and_grad(compute_loss, has_aux=True)(state.params)
@@ -193,10 +215,18 @@ class SegTrainer(TrainerBase):
         if self.mesh is not None:
             bsh = batch_sharding(self.mesh)
             rep = replicated(self.mesh)
+            st = rep
+            if moe_on and self.mesh.shape.get("expert", 1) > 1:
+                from ...parallel.mesh import expert_state_sharding
+
+                # expert parallelism: MoE params + their Adam moments live
+                # sharded over the expert axis (each device holds E/ep experts)
+                st = expert_state_sharding(self.mesh, self.state)
+                self.state = jax.device_put(self.state, st)
             return jax.jit(
                 step,
-                in_shardings=(rep, bsh, bsh, rep, rep),
-                out_shardings=(rep, rep),
+                in_shardings=(st, bsh, bsh, rep, rep),
+                out_shardings=(st, rep),
                 donate_argnums=(0,),
             )
         return jax.jit(step, donate_argnums=(0,))

@@ -89,6 +89,13 @@ class UNETR(nn.Module):
     remat: Any = False  # False | True | int (n highest-res decoder levels)
     seq_shard_axis: Optional[str] = None
     tp_axis: Optional[str] = None  # mesh axis for tensor (head/MLP) parallelism
+    # Mixture-of-Experts encoder FFNs (models/moe.py): every ``moe_every``-th
+    # block swaps its dense MLP for ``moe_experts`` routed experts,
+    # expert-parallel over the mesh ``expert`` axis (training.mesh.expert).
+    moe_experts: int = 0
+    moe_every: int = 2
+    moe_k: int = 1
+    moe_capacity_factor: float = 1.25
 
     @classmethod
     def from_config(cls, cfg, **overrides) -> "UNETR":
@@ -106,6 +113,10 @@ class UNETR(nn.Module):
             dropout=float(get_config(cfg, "dropout", 0.0)),
             seq_shard_axis=get_config(cfg, "seq_shard_axis", None),
             tp_axis=get_config(cfg, "tp_axis", None),
+            moe_experts=int(get_config(cfg, "moe_experts", 0)),
+            moe_every=int(get_config(cfg, "moe_every", 2)),
+            moe_k=int(get_config(cfg, "moe_k", 1)),
+            moe_capacity_factor=float(get_config(cfg, "moe_capacity_factor", 1.25)),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -169,6 +180,7 @@ class UNETR(nn.Module):
         step = self.num_layers // levels
         skips_tok = {}
         for i in range(self.num_layers):
+            is_moe = self.moe_experts > 0 and (i % self.moe_every) == self.moe_every - 1
             blk = EncoderBlock(
                 self.hidden_size,
                 self.num_heads,
@@ -176,6 +188,9 @@ class UNETR(nn.Module):
                 self.dropout,
                 dtype=self.dtype,
                 tp_axis=self.tp_axis,
+                num_experts=self.moe_experts if is_moe else 0,
+                moe_k=self.moe_k,
+                moe_capacity_factor=self.moe_capacity_factor,
                 name=f"block{i}",
             )
             # transformer activations are tiny next to the decoder's; remat

@@ -127,6 +127,14 @@ class EncoderBlock(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
     tp_axis: Optional[str] = None  # mesh axis for tensor parallelism
+    # Mixture-of-Experts FFN (models/moe.py): when num_experts > 0 the dense
+    # MLP is replaced by a top-k routed expert layer, expert-parallel over
+    # the mesh ``expert`` axis. Param tree is unchanged when 0 (default), so
+    # pre-MoE checkpoints/porters load exactly as before.
+    num_experts: int = 0
+    moe_k: int = 1
+    moe_capacity_factor: float = 1.25
+    moe_axis: Optional[str] = "expert"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -137,6 +145,20 @@ class EncoderBlock(nn.Module):
             tp_axis=self.tp_axis, name="MultiHeadDotProductAttention_0",
         )(y, train=train)
         x = x + y
+        if self.num_experts > 0:
+            from .moe import MoEMlp
+
+            y = MoEMlp(
+                hidden=self.hidden,
+                mlp_dim=self.mlp_dim,
+                num_experts=self.num_experts,
+                k=self.moe_k,
+                capacity_factor=self.moe_capacity_factor,
+                expert_axis=self.moe_axis,
+                dtype=self.dtype,
+                name="moe",
+            )(nn.LayerNorm(dtype=self.dtype)(x), train=train)
+            return x + y
         y = nn.LayerNorm(dtype=self.dtype)(x)
         y = nn.Dense(self.mlp_dim, dtype=self.dtype)(y)
         if self.tp_axis:
@@ -161,6 +183,12 @@ class ViT(nn.Module):
     dtype: Any = jnp.float32
     seq_shard_axis: Optional[str] = None  # mesh axis for sequence parallelism
     tp_axis: Optional[str] = None  # mesh axis for tensor (head/MLP) parallelism
+    # MoE encoder FFNs (models/moe.py; expert-parallel over the mesh
+    # ``expert`` axis): every moe_every-th block routes to moe_experts experts
+    moe_experts: int = 0
+    moe_every: int = 2
+    moe_k: int = 1
+    moe_capacity_factor: float = 1.25
     # explicit topology overrides (default: from _SPECS by variant; settable
     # so tests can build tiny torchvision-naming-compatible configs)
     patch: Optional[int] = None
@@ -178,6 +206,10 @@ class ViT(nn.Module):
             dropout=float(get_config(cfg, "dropout", 0.0)),
             seq_shard_axis=get_config(cfg, "seq_shard_axis", None),
             tp_axis=get_config(cfg, "tp_axis", None),
+            moe_experts=int(get_config(cfg, "moe_experts", 0)),
+            moe_every=int(get_config(cfg, "moe_every", 2)),
+            moe_k=int(get_config(cfg, "moe_k", 1)),
+            moe_capacity_factor=float(get_config(cfg, "moe_capacity_factor", 1.25)),
         )
         kw.update(overrides)
         kw.pop("remat", None)
@@ -207,7 +239,14 @@ class ViT(nn.Module):
 
         x = _maybe_shard_seq(x, self.seq_shard_axis)
         for i in range(depth):
-            x = EncoderBlock(hidden, heads, mlp_dim, self.dropout, dtype=self.dtype, tp_axis=self.tp_axis, name=f"block{i}")(x, train=train)
+            is_moe = self.moe_experts > 0 and (i % self.moe_every) == self.moe_every - 1
+            x = EncoderBlock(
+                hidden, heads, mlp_dim, self.dropout, dtype=self.dtype,
+                tp_axis=self.tp_axis,
+                num_experts=self.moe_experts if is_moe else 0,
+                moe_k=self.moe_k, moe_capacity_factor=self.moe_capacity_factor,
+                name=f"block{i}",
+            )(x, train=train)
             x = _maybe_shard_seq(x, self.seq_shard_axis)
 
         x = nn.LayerNorm(dtype=self.dtype, name="final_ln")(x)

@@ -26,6 +26,7 @@ DATA_AXIS = "data"
 SPACE_AXIS = "space"
 MODEL_AXIS = "model"
 STAGE_AXIS = "stage"
+EXPERT_AXIS = "expert"
 
 
 def ambient_axes() -> Dict[str, Tuple[int, bool]]:
@@ -130,33 +131,40 @@ def make_mesh(
     space: int = 1,
     model: int = 1,
     stage: int = 1,
+    expert: int = 1,
 ) -> Mesh:
-    """Build a (data, space[, model][, stage]) mesh. data=-1 consumes all
-    remaining devices. The ``model`` axis (tensor parallelism: transformer
-    heads / MLP hidden sharded Megatron-style) and the ``stage`` axis
-    (pipeline parallelism: transformer layer groups, parallel/pipeline.py)
-    are only materialized when > 1 so the common dp×sp meshes keep their
-    2-axis shape. ``stage`` is the LAST axis: reshape order makes
-    stage-neighbors adjacent in the device list, so the pipeline's ppermute
-    hops ride nearest-neighbor ICI links."""
+    """Build a (data, space[, model][, expert][, stage]) mesh. data=-1
+    consumes all remaining devices. The ``model`` axis (tensor parallelism:
+    transformer heads / MLP hidden sharded Megatron-style), the ``expert``
+    axis (expert parallelism: MoE expert shards, models/moe.py), and the
+    ``stage`` axis (pipeline parallelism: transformer layer groups,
+    parallel/pipeline.py) are only materialized when > 1 so the common
+    dp×sp meshes keep their 2-axis shape. ``stage`` is the LAST axis:
+    reshape order makes stage-neighbors adjacent in the device list, so the
+    pipeline's ppermute hops ride nearest-neighbor ICI links."""
     devices = list(devices) if devices is not None else jax.devices()
     n = len(devices)
     space = max(1, int(space))
     model = max(1, int(model))
     stage = max(1, int(stage))
-    per_data = space * model * stage
+    expert = max(1, int(expert))
+    per_data = space * model * stage * expert
     if n % per_data != 0:
         raise ValueError(
-            f"device count {n} not divisible by space*model*stage="
-            f"{space}*{model}*{stage}"
+            f"device count {n} not divisible by space*model*expert*stage="
+            f"{space}*{model}*{expert}*{stage}"
         )
     if data == -1:
         data = n // per_data
     if data * per_data != n:
-        raise ValueError(f"mesh {data}x{space}x{model}x{stage} != {n} devices")
+        raise ValueError(
+            f"mesh {data}x{space}x{model}x{expert}x{stage} != {n} devices"
+        )
     dims = [(DATA_AXIS, data), (SPACE_AXIS, space)]
     if model > 1:
         dims.append((MODEL_AXIS, model))
+    if expert > 1:
+        dims.append((EXPERT_AXIS, expert))
     if stage > 1:
         dims.append((STAGE_AXIS, stage))
     arr = np.asarray(devices).reshape([d for _, d in dims])
@@ -171,7 +179,10 @@ def mesh_from_config(config) -> Mesh:
     space = int(get_config(mcfg, "space", 1)) if mcfg is not None else 1
     model = int(get_config(mcfg, "model", 1)) if mcfg is not None else 1
     stage = int(get_config(mcfg, "stage", 1)) if mcfg is not None else 1
-    mesh = make_mesh(devs, data=data, space=space, model=model, stage=stage)
+    expert = int(get_config(mcfg, "expert", 1)) if mcfg is not None else 1
+    mesh = make_mesh(
+        devs, data=data, space=space, model=model, stage=stage, expert=expert
+    )
     get_logger().info(
         f"Device mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))} over "
         f"{mesh.devices.size} {mesh.devices.flat[0].platform} device(s)"
@@ -193,6 +204,34 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+_MOE_EXPERT_LEAVES = {"wi", "bi", "wo", "bo"}
+
+
+def expert_state_sharding(mesh: Mesh, state) -> Any:
+    """Per-leaf NamedSharding tree for a TrainState with MoE params: the
+    expert-major tensors (wi/bi/wo/bo under a module named ``moe``,
+    models/moe.py) shard dim 0 over the mesh ``expert`` axis — this is what
+    makes expert parallelism scale MEMORY, not just compute: each device
+    holds (and Adam tracks) only its expert shard. Everything else (incl.
+    the router) is replicated. Optimizer state mirrors the params tree, so
+    mu/nu shards fall out of the same path rule."""
+    esize = int(mesh.shape.get(EXPERT_AXIS, 1))
+
+    def spec(path, leaf):
+        if esize > 1 and getattr(leaf, "ndim", 0) >= 1:
+            keys = [p.key for p in path if isinstance(p, jax.tree_util.DictKey)]
+            if (
+                keys
+                and keys[-1] in _MOE_EXPERT_LEAVES
+                and "moe" in keys
+                and leaf.shape[0] % esize == 0
+            ):
+                return NamedSharding(mesh, P(EXPERT_AXIS, *([None] * (leaf.ndim - 1))))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec, state)
 
 
 def data_axis_size(mesh: Mesh) -> int:
