@@ -161,6 +161,12 @@ def build_adapter_state(predict_mode: str = "post", episodic: bool = True):
     if method == "cotta":
         tta_node.update({"ema": 0.999, "n_views": int(os.environ.get("BENCH_COTTA_VIEWS", "1")),
                          "serve": "teacher"})
+    # BENCH_TTA_REGEX scopes the adapted norm set (tta.update_path_regex).
+    # Late-layer scopes truncate the backward at the earliest adapted param
+    # (reverse-mode AD needs nothing upstream of it) — the speed/quality
+    # ladder is measured in BASELINE.md.
+    if os.environ.get("BENCH_TTA_REGEX"):
+        tta_node["update_path_regex"] = os.environ["BENCH_TTA_REGEX"]
     cfg = ConfigNode(
         {
             "task": {"seed": 0},

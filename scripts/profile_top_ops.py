@@ -1,7 +1,8 @@
 """Capture a TPU profiler trace of the flagship forward (or adapt) step and
 print the top device ops — the round-2 MXU-utilization starting point.
 
-    python scripts/profile_top_ops.py [--adapt] [--batch 8] [--out /tmp/tpu_profile]
+    python scripts/profile_top_ops.py [--adapt] [--model unet|unetr|swin_unetr] \
+        [--batch 8] [--out /tmp/tpu_profile]
 
 Writes an xplane trace viewable in TensorBoard/xprof and prints an aggregate
 per-op device-time table.
@@ -29,13 +30,20 @@ import jax
 import jax.numpy as jnp
 
 
-def build(batch: int, adapt: bool):
-    from multimodal_tta_tpu.models import UNet3D
+def build(batch: int, adapt: bool, model_name: str = "unet"):
+    import multimodal_tta_tpu.models  # noqa: F401 — registers the families
+    from multimodal_tta_tpu.registry import get_model
 
-    model = UNet3D(
-        in_channels=2, num_classes=1, channels=(32, 64, 128, 256, 512),
-        strides=(2, 2, 2, 2), num_res_units=2, norm="INSTANCE", dtype=jnp.bfloat16,
-    )
+    if model_name in ("unetr", "swin_unetr"):
+        model = get_model(model_name)(
+            in_channels=2, num_classes=1, dtype=jnp.bfloat16,
+        )
+    else:
+        model = get_model(model_name)(
+            in_channels=2, num_classes=1, channels=(32, 64, 128, 256, 512),
+            strides=(2, 2, 2, 2), num_res_units=2, norm="INSTANCE",
+            dtype=jnp.bfloat16,
+        )
     x = jnp.asarray(np.random.RandomState(0).randn(batch, 48, 144, 144, 2).astype(np.float32))
     v = jax.jit(lambda k, a: model.init(k, a, train=False))(jax.random.PRNGKey(0), x)
 
@@ -91,12 +99,14 @@ def print_top_ops(out_dir: str, top: int = 15) -> None:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--adapt", action="store_true", help="profile the fused tent adapt+predict step")
+    ap.add_argument("--model", default="unet",
+                    help="registry model name (unet, unet_ws, unetr, swin_unetr)")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--out", default="/tmp/tpu_profile")
     args = ap.parse_args()
 
-    run = build(args.batch, args.adapt)
+    run = build(args.batch, args.adapt, args.model)
     run()  # warm/compile outside the trace
     jax.profiler.start_trace(args.out)
     for _ in range(args.iters):

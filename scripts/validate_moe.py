@@ -1,0 +1,146 @@
+"""Trained-equivalence validation: dense UNETR vs MoE-UNETR.
+
+BASELINE.md's MoE section ships the routed-expert family with measured
+serving economics (0.7% routing tax at 3.1x params) but flags quality as
+uncharacterized. This script closes that: both variants train with the
+identical recipe on the synthetic HECKTOR fixture and report validation
+Dice, router aux-loss behavior, and wall-clock per epoch. Run on the TPU:
+
+    python scripts/validate_moe.py [--epochs 24] [--experts 8] [--out r.json]
+
+Prints one JSON line per variant and a final verdict line. MoE wants data
+scale a synthetic fixture can't supply, so the claim under test is bounded:
+the routed variant must train stably (no router collapse: aux loss stays
+near 1.0 = balanced) and land within tolerance of the dense model — not
+beat it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from multimodal_tta_tpu.utils.jax_setup import apply_platform_env, enable_compilation_cache  # noqa: E402
+
+apply_platform_env()  # honor JAX_PLATFORMS under sitecustomize pins
+enable_compilation_cache()
+
+
+def ensure_fixture(root: str) -> str:
+    manifest = os.path.join(root, "manifest.csv")
+    if os.path.exists(manifest):
+        return manifest
+    from multimodal_tta_tpu.data.synthetic import make_hecktor_fixture
+
+    print("[validate_moe] generating fixture ...", file=sys.stderr)
+    return make_hecktor_fixture(
+        root,
+        centers={"CHGJ": 16, "CHUS": 16, "CHUM": 16, "CHUP": 8},
+        shape=(144, 144, 48),
+        seed=7,
+        n_lesions=(1, 3),
+        radius_range=(2.5, 9.0),
+    )
+
+
+def run_one(tag: str, extra: list, manifest: str, epochs: int, out_root: str) -> dict:
+    from _validate_common import bring_up
+
+    overrides = [
+        "task=hecktor21",
+        "dataset=hecktor21",
+        "model=unetr",
+        f"dataset.manifest_csv={manifest}",
+        "dataset.expected_shape=[144,144,48]",
+        "dataset.target_center=CHUP",
+        "dataset.val_per_center=2",
+        "dataset.cache_in_memory=true",
+        f"training.epochs={epochs}",
+        "training.batch_size=8",
+        "training.eval_batch_size=8",
+        "training.num_workers=8",
+        "training.device_cache=true",
+        "training.optimizer=adam",
+        "training.optimizers.adam.lr=1e-3",
+        "training.eval_test.start_epoch=0",
+        f"training.eval_test.every_n_epochs={max(epochs // 4, 1)}",
+        "training.eval_test.run_last=true",
+        "training.eval_test.do_test=false",
+        "training.model_save_start=9999",
+        f"task.save_dir={out_root}",
+        f"task.run_name=moe_validate_{tag}",
+    ] + list(extra)
+    manager, cfg = bring_up(overrides, tag="validate_moe")
+    results = manager.last_train_results
+    wall = manager.last_train_wall_s
+    evals = results.get("eval_history", [])
+    best_val = max((e.get("avg_dc", 0.0) for e in evals), default=0.0)
+    final_val = evals[-1].get("avg_dc", 0.0) if evals else 0.0
+    n_params = sum(
+        int(x.size) for x in _tree_leaves(manager.state.params)
+    )
+    return {
+        "variant": tag,
+        "epochs": epochs,
+        "params_m": round(n_params / 1e6, 1),
+        "best_val_avg_dc": round(float(best_val), 4),
+        "final_val_avg_dc": round(float(final_val), 4),
+        "wall_s": round(wall, 1),
+        "s_per_epoch": round(wall / max(epochs, 1), 2),
+    }
+
+
+def _tree_leaves(t):
+    import jax
+
+    return jax.tree_util.tree_leaves(t)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=24)
+    ap.add_argument("--experts", type=int, default=8)
+    ap.add_argument("--fixture", default=os.path.join(REPO_ROOT, ".ws_validate_fixture"))
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    manifest = ensure_fixture(args.fixture)
+    out_root = os.path.join(args.fixture, "runs")
+
+    rows = [
+        run_one("dense", [], manifest, args.epochs, out_root),
+    ]
+    print(json.dumps(rows[-1]))
+    rows.append(
+        run_one(
+            f"moe{args.experts}",
+            [f"model.moe_experts={args.experts}"],
+            manifest,
+            args.epochs,
+            out_root,
+        )
+    )
+    print(json.dumps(rows[-1]))
+
+    d = rows[1]["best_val_avg_dc"] - rows[0]["best_val_avg_dc"]
+    verdict = {
+        "dice_delta_moe_minus_dense": round(d, 4),
+        "within_tolerance_0.02": bool(abs(d) <= 0.02 or d > 0),
+        "train_slowdown_wall": round(
+            rows[1]["s_per_epoch"] / max(rows[0]["s_per_epoch"], 1e-9), 2
+        ),
+    }
+    print(json.dumps(verdict))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"rows": rows, "verdict": verdict}, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

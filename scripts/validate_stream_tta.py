@@ -234,6 +234,11 @@ def main() -> None:
                     help="fixture volume shape X Y Z (small values = smoke test)")
     ap.add_argument("--per-center", type=int, default=16)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--scope", default=None,
+                    help="tta.update_path_regex for a FOCUSED scoped-vs-full "
+                         "comparison (layer-scoped Tent, BASELINE.md ladder): "
+                         "runs no-adapt + {full, scoped} x {operating point, "
+                         "collapse regime} instead of the full policy table")
     args = ap.parse_args()
 
     manifest = ensure_fixture(args.fixture, shape=tuple(args.shape), per_center=args.per_center)
@@ -241,6 +246,13 @@ def main() -> None:
         manifest, args.epochs, os.path.join(args.fixture, "runs"),
         resume=args.resume, shape=tuple(args.shape),
     )
+    if not args.resume:
+        # persist the source model so later sweeps (--resume) skip training
+        from multimodal_tta_tpu.core.checkpoint import save_checkpoint
+
+        ckpt = os.path.join(args.fixture, "runs", "source_ckpt")
+        save_checkpoint(ckpt, manager.state)
+        print(f"[stream_tta] source checkpoint saved: {ckpt}", file=sys.stderr)
 
     from _validate_common import device_transform_of
 
@@ -252,6 +264,24 @@ def main() -> None:
         print(json.dumps({k: v for k, v in row.items() if k != "positions"}))
 
     emit(run_no_adapt(manager, cfg, device_transform))
+
+    if args.scope:
+        # scoped-Tent drift question: does restricting the adapted set to
+        # the decoder tail (4 affine tensors instead of 36) also bound
+        # over-adaptation drift — fewer degrees of freedom to collapse into?
+        for label, extra in (("full", None),
+                             ("scoped", {"update_path_regex": args.scope})):
+            for regime, s, l in (("operating", args.steps, args.lr),
+                                 ("collapse", args.collapse_steps, args.collapse_lr)):
+                row = run_policy(manager, cfg, device_transform,
+                                 policy="continual", guard=False,
+                                 steps=s, lr=l, node_extra=extra)
+                row.update({"scope": label, "regime": regime})
+                emit(row)
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(rows, f, indent=2)
+        return
 
     op = dict(steps=args.steps, lr=args.lr)
     emit(run_policy(manager, cfg, device_transform, policy="episodic", guard=False, **op))

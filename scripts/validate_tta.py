@@ -112,9 +112,11 @@ def eval_mode(manager, cfg, test_loader, device_transform, tta_over: dict):
 
 
 def eval_inline(manager, cfg, test_loader, device_transform, steps: int, lr: float,
-                focus: str = "all"):
+                focus: str = "all", scope: str = None):
     """Online protocol: Dice of the inline predictions themselves (continual
-    stream over the target center)."""
+    stream over the target center). ``scope`` restricts the adapted norm set
+    via tta.update_path_regex (layer-scoped Tent — late scopes truncate the
+    backward; speed ladder in BASELINE.md)."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -122,11 +124,12 @@ def eval_inline(manager, cfg, test_loader, device_transform, steps: int, lr: flo
     from multimodal_tta_tpu.tta import TentAdapter
     from multimodal_tta_tpu.utils.config import get_config
 
-    tta_cfg = ConfigNode(
-        {"method": "tent", "steps": steps, "lr": lr, "optimizer": "sgd",
-         "momentum": 0.9, "update": "norm", "episodic": False,
-         "entropy_focus": focus}
-    )
+    node = {"method": "tent", "steps": steps, "lr": lr, "optimizer": "sgd",
+            "momentum": 0.9, "update": "norm", "episodic": False,
+            "entropy_focus": focus}
+    if scope:
+        node["update_path_regex"] = scope
+    tta_cfg = ConfigNode(node)
     adapter = TentAdapter(tta_cfg, config=cfg, mesh=manager.mesh,
                           device_transform=device_transform)
     thr = float(get_config(cfg, "evaluation.seg.threshold", 0.3))
@@ -162,11 +165,24 @@ def main() -> None:
                     help="checkpoint path (sans extension) — skip training")
     ap.add_argument("--fixture", default=os.path.join(REPO_ROOT, ".tta_validate_fixture"))
     ap.add_argument("--out", default=None)
+    ap.add_argument("--scope-list", nargs="*", default=None,
+                    help="tta.update_path_regex values for the layer-scoped "
+                         "Tent sweep (quality side of the BASELINE.md speed "
+                         "ladder). When given, ONLY the scope comparison runs: "
+                         "no-adapt + full-norm + each scope, online-inline and "
+                         "episodic, over --steps-list x --lrs.")
     args = ap.parse_args()
 
     manifest = ensure_fixture(args.fixture)
     manager, cfg = train_source(manifest, args.epochs, os.path.join(args.fixture, "runs"),
                                 resume=args.resume)
+    if not args.resume:
+        # persist the source model so later sweeps (--resume) skip training
+        from multimodal_tta_tpu.core.checkpoint import save_checkpoint
+
+        ckpt = os.path.join(args.fixture, "runs", "source_ckpt")
+        save_checkpoint(ckpt, manager.state)
+        print(f"[validate_tta] source checkpoint saved: {ckpt}", file=sys.stderr)
 
     from _validate_common import device_transform_of
 
@@ -185,6 +201,39 @@ def main() -> None:
     no_adapt = round(float(m.get("avg_dc", 0.0)), 4)
     rows.append({"mode": "no_adapt", "avg_dc": no_adapt})
     print(json.dumps(rows[-1]))
+
+    if args.scope_list is not None:
+        # layer-scoped Tent: quality side of the speed ladder. "" = the
+        # full norm set (the reference point each scope is judged against).
+        for scope in [""] + list(args.scope_list):
+            for steps in args.steps_list:
+                for lr in args.lrs:
+                    tta = dict(method="tent", steps=steps, lr=lr,
+                               optimizer="sgd", momentum=0.9, update="norm",
+                               episodic=True, entropy_focus="all",
+                               modality_dropout={"enabled": False})
+                    if scope:
+                        tta["update_path_regex"] = scope
+                    m = eval_mode(manager, cfg, test_loader, device_transform, tta)
+                    row = {"mode": "tent_episodic", "scope": scope or "full",
+                           "steps": steps, "lr": lr,
+                           "avg_dc": round(float(m.get("avg_dc", 0.0)), 4)}
+                    row["delta_vs_no_adapt"] = round(row["avg_dc"] - no_adapt, 4)
+                    rows.append(row)
+                    print(json.dumps(row))
+                    m = eval_inline(manager, cfg, test_loader, device_transform,
+                                    steps, lr, "all", scope=scope or None)
+                    row = {"mode": "tent_online_inline", "scope": scope or "full",
+                           "steps": steps, "lr": lr,
+                           "avg_dc": round(float(m["avg_dc"]), 4),
+                           "entropy": round(m["entropy"], 5) if m.get("entropy") is not None else None}
+                    row["delta_vs_no_adapt"] = round(row["avg_dc"] - no_adapt, 4)
+                    rows.append(row)
+                    print(json.dumps(row))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump({"rows": rows}, f, indent=2)
+        return
 
     best = {"delta": 0.0, "mode": "no_adapt"}
     for focus in args.focus_list:

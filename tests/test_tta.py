@@ -569,6 +569,36 @@ class TestUpdatePathRegex:
             if "enc" in key:
                 assert np.allclose(np.asarray(p0), np.asarray(p1)), key
 
+    def test_tail_scope_truncates_backward_at_compile_time(self):
+        """Layer-scoped Tent speed property (BASELINE.md ladder): with the
+        adapted set restricted to the last decoder level, reverse-mode AD
+        needs nothing upstream of it — the compiled adapt step must contain
+        strictly fewer convolutions than the full-norm step (the encoder /
+        deep-decoder gradient convolutions are dead code). This is the
+        compile-level fact behind the measured 44.5 -> 61.7 vol/s/chip."""
+
+        def conv_count(regex):
+            state = make_state()
+            kw = {"update_path_regex": regex} if regex else {}
+            cfg = full_cfg(tent_cfg(steps=1, lr=1e-2, **kw))
+            adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+            adapter.make_adapt_fn(state)
+            x = jnp.zeros((2, 16, 16, 16, 2), jnp.float32)
+            args = (
+                state.params, state.batch_stats, adapter._opt_state0,
+                x, jax.random.PRNGKey(0), jnp.int32(2), jnp.float32(jnp.nan),
+            )
+            txt = adapter._adapt_step.lower(*args).compile().as_text()
+            return txt.count(" convolution(")
+
+        full = conv_count(None)
+        tail = conv_count("^(dec0|up0)")
+        assert full > 0
+        assert tail < full, (
+            f"tail-scoped adapt compiled to {tail} convolutions vs {full} "
+            f"full-scope — backward truncation regressed"
+        )
+
     def test_non_matching_regex_raises(self):
         state = make_state()
         cfg = full_cfg(tent_cfg(update_path_regex="nothing_matches_this"))
