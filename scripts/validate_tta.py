@@ -205,26 +205,27 @@ def main() -> None:
     if args.scope_list is not None:
         # layer-scoped Tent: quality side of the speed ladder. "" = the
         # full norm set (the reference point each scope is judged against).
+        scope_focus = args.focus_list[0]
         for scope in [""] + list(args.scope_list):
             for steps in args.steps_list:
                 for lr in args.lrs:
                     tta = dict(method="tent", steps=steps, lr=lr,
                                optimizer="sgd", momentum=0.9, update="norm",
-                               episodic=True, entropy_focus="all",
+                               episodic=True, entropy_focus=scope_focus,
                                modality_dropout={"enabled": False})
                     if scope:
                         tta["update_path_regex"] = scope
                     m = eval_mode(manager, cfg, test_loader, device_transform, tta)
                     row = {"mode": "tent_episodic", "scope": scope or "full",
-                           "steps": steps, "lr": lr,
+                           "focus": scope_focus, "steps": steps, "lr": lr,
                            "avg_dc": round(float(m.get("avg_dc", 0.0)), 4)}
                     row["delta_vs_no_adapt"] = round(row["avg_dc"] - no_adapt, 4)
                     rows.append(row)
                     print(json.dumps(row))
                     m = eval_inline(manager, cfg, test_loader, device_transform,
-                                    steps, lr, "all", scope=scope or None)
+                                    steps, lr, scope_focus, scope=scope or None)
                     row = {"mode": "tent_online_inline", "scope": scope or "full",
-                           "steps": steps, "lr": lr,
+                           "focus": scope_focus, "steps": steps, "lr": lr,
                            "avg_dc": round(float(m["avg_dc"]), 4),
                            "entropy": round(m["entropy"], 5) if m.get("entropy") is not None else None}
                     row["delta_vs_no_adapt"] = round(row["avg_dc"] - no_adapt, 4)

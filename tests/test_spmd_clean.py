@@ -105,6 +105,37 @@ def test_adapt_compiles_without_involuntary_remat(capfd, no_compile_cache):
     assert "all-reduce" in txt or "all-gather" in txt or "collective" in txt
 
 
+def test_scoped_adapt_compiles_without_involuntary_remat(capfd, no_compile_cache):
+    """Layer-scoped Tent (tta.update_path_regex="^(dec0|up0)") changes the
+    gradient graph the partitioner sees — the truncated backward must stay
+    SPMD-clean on the data×space mesh just like the full-norm step."""
+    mesh = make_mesh(data=4, space=2)
+    state, cfg = _small_state_and_cfg()
+    cfg.tta.update_path_regex = "^(dec0|up0)"
+    with mesh:
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=mesh)
+        step = adapter._build_adapt_step(state)
+        img = jnp.zeros((8, 16, 16, 16, 2), jnp.float32)
+        opt0 = adapter._tx.init(adapter.trainable_subtree(state.params))
+        capfd.readouterr()
+        compiled = step.lower(
+            state.params,
+            state.batch_stats,
+            opt0,
+            img,
+            jax.random.PRNGKey(0),
+            jnp.int32(8),
+            jnp.float32(jnp.nan),
+        ).compile()
+    captured = capfd.readouterr()
+    assert INVOLUNTARY not in captured.err, (
+        "SPMD partitioner fell back to replicate-then-repartition inside the "
+        "scoped jit(adapt):\n" + captured.err[-4000:]
+    )
+    txt = compiled.as_text()
+    assert "all-reduce" in txt or "all-gather" in txt or "collective" in txt
+
+
 def test_adapt_executes_on_data_space_mesh(no_compile_cache):
     """The sharding pins must not change adaptation numerics: the 4x2-mesh
     adapted params match a single-device (no-mesh) adaptation bit-for-bit in
