@@ -117,10 +117,17 @@ def main() -> None:
         run_one("dense", [], manifest, args.epochs, out_root),
     ]
     print(json.dumps(rows[-1]))
+    # training.device_cache=false for the routed variant only: its Adam
+    # moments (294.7M params) put the batch-8 train step 246M over one v5e
+    # chip's HBM with the device-resident dataset staged (measured); host
+    # loading frees ~320M. (Remat and batch 4 were both measured WORSE:
+    # each shifts XLA to pathological 4x-padded layout copies of the dec0
+    # norm input.) The optimization trajectory is unchanged — same batch
+    # size, same data order.
     rows.append(
         run_one(
             f"moe{args.experts}",
-            [f"model.moe_experts={args.experts}"],
+            [f"model.moe_experts={args.experts}", "training.device_cache=false"],
             manifest,
             args.epochs,
             out_root,

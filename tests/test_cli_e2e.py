@@ -90,6 +90,28 @@ class TestAdaptCLI:
         assert "dom/CHUS/avg_dc" in metrics["adapted"]
 
 
+class TestScopedAdaptCLI:
+    def test_scoped_tta_run(self, fixture_env):
+        """Layer-scoped Tent through the user-facing CLI: the
+        tta.update_path_regex override reaches the adapter (run log records
+        the path filter) and the run produces the same metrics schema."""
+        proc = run_cli(
+            "adapt.py",
+            common_overrides(fixture_env, "cli_tta_scoped")
+            + ["tta=tent", "tta.steps=1",
+               "tta.update_path_regex=^(dec0|up0)"],
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        base = os.path.join(fixture_env["root"], "outputs", "cli_tta_scoped")
+        run_dir = os.path.join(base, sorted(os.listdir(base))[-1])
+        with open(os.path.join(run_dir, "tta_metrics.json")) as f:
+            metrics = json.load(f)
+        assert "gtvt_dc" in metrics["adapted"]
+        # the scope actually bit: the adapter logged the path filter
+        log = proc.stderr + proc.stdout
+        assert "under path filter" in log and "dec0|up0" in log
+
+
 class TestPredictCLI:
     def test_predict_export_run(self, fixture_env):
         """predict.py writes per-case NIfTI masks + predictions.csv for the
