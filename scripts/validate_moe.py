@@ -108,14 +108,21 @@ def main() -> None:
     ap.add_argument("--experts", type=int, default=8)
     ap.add_argument("--fixture", default=os.path.join(REPO_ROOT, ".ws_validate_fixture"))
     ap.add_argument("--out", default=None)
+    ap.add_argument("--dense-ref", type=float, default=None,
+                    help="best_val_avg_dc of an already-measured dense run — "
+                         "skips retraining the dense variant")
     args = ap.parse_args()
 
     manifest = ensure_fixture(args.fixture)
     out_root = os.path.join(args.fixture, "runs")
 
-    rows = [
-        run_one("dense", [], manifest, args.epochs, out_root),
-    ]
+    if args.dense_ref is not None:
+        rows = [{"variant": "dense", "epochs": args.epochs, "params_m": 96.4,
+                 "best_val_avg_dc": args.dense_ref,
+                 "final_val_avg_dc": args.dense_ref,
+                 "wall_s": None, "s_per_epoch": None}]
+    else:
+        rows = [run_one("dense", [], manifest, args.epochs, out_root)]
     print(json.dumps(rows[-1]))
     # training.device_cache=false for the routed variant only: its Adam
     # moments (294.7M params) put the batch-8 train step 246M over one v5e
@@ -139,10 +146,11 @@ def main() -> None:
     verdict = {
         "dice_delta_moe_minus_dense": round(d, 4),
         "within_tolerance_0.02": bool(abs(d) <= 0.02 or d > 0),
-        "train_slowdown_wall": round(
-            rows[1]["s_per_epoch"] / max(rows[0]["s_per_epoch"], 1e-9), 2
-        ),
     }
+    if rows[0]["s_per_epoch"]:
+        verdict["train_slowdown_wall"] = round(
+            rows[1]["s_per_epoch"] / rows[0]["s_per_epoch"], 2
+        )
     print(json.dumps(verdict))
     if args.out:
         with open(args.out, "w") as f:
