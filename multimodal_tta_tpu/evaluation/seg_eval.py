@@ -106,6 +106,22 @@ class SegmentationEvaluationStrategy:
         surf_cfg = get_config(self.config, "evaluation.surface", ConfigNode())
         self.enable_surface = bool(get_config(surf_cfg, "enable", False))
         self.asd_symmetric = bool(get_config(surf_cfg, "asd_symmetric", False))
+        # Normalized Surface Dice at tolerance (mm): scalar, or per-region
+        # list matching region_order. None disables the metric (default —
+        # the reference's MONAI path reports HD95/ASD only; NSD is the
+        # boundary metric the nnU-Net era standardized on).
+        nsd_tol = get_config(surf_cfg, "nsd_tol", None)
+        if nsd_tol is None:
+            self.nsd_tol = None
+        elif isinstance(nsd_tol, (list, tuple)):
+            if len(nsd_tol) != len(self.region_order):
+                raise ValueError(
+                    f"[SegEval] evaluation.surface.nsd_tol list must match "
+                    f"region_order length {len(self.region_order)}, got {list(nsd_tol)}"
+                )
+            self.nsd_tol = [float(t) for t in nsd_tol]
+        else:
+            self.nsd_tol = float(nsd_tol)
 
         # When transforms defer normalization to the device
         # (training.data.transforms.on_device), the eval forward must apply it
@@ -253,6 +269,7 @@ class SegmentationEvaluationStrategy:
         enable_surface = self.enable_surface
         spacing = self.spacing
         asd_symmetric = self.asd_symmetric
+        nsd_tol = self.nsd_tol
 
         def step(state, image, label):
             label = label.astype(jnp.float32)
@@ -275,11 +292,16 @@ class SegmentationEvaluationStrategy:
             if enable_surface:
                 from ..ops.surface import batched_surface_metrics
 
-                hd95, asd = batched_surface_metrics(
-                    pred, gt, spacing=spacing, symmetric_asd=asd_symmetric
+                res = batched_surface_metrics(
+                    pred,
+                    gt,
+                    spacing=spacing,
+                    symmetric_asd=asd_symmetric,
+                    nsd_tol=nsd_tol,
                 )
-                out["hd95"] = hd95
-                out["asd"] = asd
+                out["hd95"], out["asd"] = res[0], res[1]
+                if nsd_tol is not None:
+                    out["nsd"] = res[2]
 
             return out
 
@@ -309,11 +331,13 @@ class SegmentationEvaluationStrategy:
         R = len(self.region_order)
 
         acc_dice, acc_iou = _Accum(R), _Accum(R)
-        acc_hd95, acc_asd = _Accum(R), _Accum(R)
+        acc_hd95, acc_asd, acc_nsd = _Accum(R), _Accum(R), _Accum(R)
         dom_dice: Dict[str, _Accum] = defaultdict(lambda: _Accum(R))
         dom_iou: Dict[str, _Accum] = defaultdict(lambda: _Accum(R))
         dom_hd95: Dict[str, _Accum] = defaultdict(lambda: _Accum(R))
         dom_asd: Dict[str, _Accum] = defaultdict(lambda: _Accum(R))
+        dom_nsd: Dict[str, _Accum] = defaultdict(lambda: _Accum(R))
+        report_nsd = self.enable_surface and self.nsd_tol is not None
 
         total_loss = 0.0
         n_samples = 0
@@ -368,12 +392,20 @@ class SegmentationEvaluationStrategy:
                 asd = np.where(penalty, diag, asd)
                 hd95 = np.where(valid & ~np.isfinite(hd95), diag, hd95)
                 asd = np.where(valid & ~np.isfinite(asd), diag, asd)
+                if report_nsd:
+                    # NSD is a similarity in [0,1]: the worst-case penalty
+                    # (empty/degenerate prediction against non-empty GT) is 0.
+                    nsd = np.asarray(out["nsd"])[:B]
+                    nsd = np.where(penalty, 0.0, nsd)
+                    nsd = np.where(valid & ~np.isfinite(nsd), 0.0, nsd)
 
             acc_dice.add(dice, valid)
             acc_iou.add(iou, valid)
             if self.enable_surface:
                 acc_hd95.add(hd95, valid)
                 acc_asd.add(asd, valid)
+                if report_nsd:
+                    acc_nsd.add(nsd, valid)
 
             for i in range(B):
                 dom = domains[i]
@@ -383,6 +415,8 @@ class SegmentationEvaluationStrategy:
                 if self.enable_surface:
                     dom_hd95[dom].add(hd95[i : i + 1], v)
                     dom_asd[dom].add(asd[i : i + 1], v)
+                    if report_nsd:
+                        dom_nsd[dom].add(nsd[i : i + 1], v)
 
             if self.report_loss:
                 loss = np.asarray(out["loss"])[:B]
@@ -407,6 +441,10 @@ class SegmentationEvaluationStrategy:
             for name, v in zip(self.region_order, acc_asd.means()):
                 metrics[f"{name.lower()}_asd"] = v
             metrics["avg_asd"] = acc_asd.valid_mean()
+            if report_nsd:
+                for name, v in zip(self.region_order, acc_nsd.means()):
+                    metrics[f"{name.lower()}_nsd"] = v
+                metrics["avg_nsd"] = acc_nsd.valid_mean()
 
         for dom in sorted(dom_dice.keys()):
             safe = dom if dom != "" else "unknown"
@@ -421,5 +459,9 @@ class SegmentationEvaluationStrategy:
                 for name, v in zip(self.region_order, dom_asd[dom].means()):
                     metrics[f"dom/{safe}/{name.lower()}_asd"] = v
                 metrics[f"dom/{safe}/avg_asd"] = dom_asd[dom].valid_mean()
+                if report_nsd:
+                    for name, v in zip(self.region_order, dom_nsd[dom].means()):
+                        metrics[f"dom/{safe}/{name.lower()}_nsd"] = v
+                    metrics[f"dom/{safe}/avg_nsd"] = dom_nsd[dom].valid_mean()
 
         return metrics

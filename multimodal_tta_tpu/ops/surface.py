@@ -1,4 +1,4 @@
-"""Surface-distance metrics (HD95 / ASD) on device.
+"""Surface-distance metrics (HD95 / ASD / NSD) on device.
 
 The reference computes HD95/ASD through MONAI, whose kernels run host-side
 scipy distance transforms (reference: src/evaluation/seg_eval.py:226-236,
@@ -17,10 +17,14 @@ computation is jnp on the accelerator:
   3. directed distances gathered at the other mask's surface voxels;
      HD95 = max of the two directed 95th percentiles (numpy-style linear
      interpolation, matching np.percentile used by MONAI); ASD = mean of
-     pred->gt distances (symmetric: both directions pooled).
+     pred->gt distances (symmetric: both directions pooled); NSD
+     (normalized surface Dice at tolerance tau, Nikolov et al. 2018 — the
+     nnU-Net-era boundary metric) = the fraction of surface voxels, pooled
+     over both surfaces, whose distance to the OTHER surface is <= tau.
 
-Empty masks produce +inf, which the evaluation layer replaces with the
-volume-diagonal penalty (reference semantics, seg_eval.py:347-360).
+Empty masks produce +inf (NSD: one-sided empty -> 0, both empty -> +inf),
+which the evaluation layer replaces with the volume-diagonal penalty
+(NSD: 0) per reference semantics, seg_eval.py:347-360.
 """
 
 from __future__ import annotations
@@ -134,10 +138,23 @@ def surface_metrics_single(
     *,
     percentile: float = 95.0,
     symmetric_asd: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """HD95 and ASD for one region pair pred/gt [D,H,W] {0,1}.
+    nsd_tol=None,
+):
+    """HD95 and ASD (and optionally NSD) for one region pair pred/gt
+    [D,H,W] {0,1}.
 
-    Returns (hd95, asd) scalars; +inf when either surface is empty.
+    Returns (hd95, asd) scalars, +inf when either surface is empty. With
+    ``nsd_tol`` (a tolerance in the same physical units as ``spacing``,
+    scalar or traced) returns (hd95, asd, nsd) where
+
+        nsd = (|{p in S_pred : d(p, S_gt) <= tol}| +
+               |{g in S_gt  : d(g, S_pred) <= tol}|) / (|S_pred| + |S_gt|)
+
+    — Nikolov et al. 2018 / MONAI ``compute_surface_dice`` semantics: one
+    empty surface gives 0 (the infinite distance field counts no voxel as
+    within tolerance), both empty gives +inf for the host layer to
+    sanitize. The NSD reuses the two distance fields HD95/ASD already
+    computed, so it is near-free on top of them.
     """
     s_pred = extract_surface(pred)
     s_gt = extract_surface(gt)
@@ -165,7 +182,15 @@ def surface_metrics_single(
     # any empty surface on a referenced side -> inf (host applies penalties)
     hd95 = jnp.where((n1 > 0) & (n2 > 0), hd95, _INF)
     asd = jnp.where((n2 > 0), asd, _INF)
-    return hd95, asd
+    if nsd_tol is None:
+        return hd95, asd
+
+    tol = jnp.asarray(nsd_tol, d1.dtype)
+    hits = jnp.sum(jnp.where(sp, (d1 <= tol).astype(d1.dtype), 0.0)) + jnp.sum(
+        jnp.where(sg, (d2 <= tol).astype(d2.dtype), 0.0)
+    )
+    nsd = jnp.where(n1 + n2 > 0, hits / jnp.maximum(n1 + n2, 1), _INF)
+    return hd95, asd, nsd
 
 
 def batched_surface_metrics(
@@ -175,12 +200,14 @@ def batched_surface_metrics(
     spacing: Tuple[float, float, float],
     percentile: float = 95.0,
     symmetric_asd: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    nsd_tol=None,
+):
     """pred/gt: [B, D, H, W, R] {0,1} -> (hd95 [B,R], asd [B,R]).
 
-    Region/batch pairs are processed sequentially with lax.map (each EDT is
-    itself heavily vectorized), bounding peak memory to one volume's
-    transform at a time.
+    With ``nsd_tol`` (scalar, or per-region sequence of length R) also
+    returns nsd [B,R]. Region/batch pairs are processed sequentially with
+    lax.map (each EDT is itself heavily vectorized), bounding peak memory
+    to one volume's transform at a time.
     """
     b, r = pred.shape[0], pred.shape[-1]
     pr = jnp.moveaxis(pred, -1, 1).reshape((b * r,) + pred.shape[1:4])
@@ -192,5 +219,13 @@ def batched_surface_metrics(
         percentile=percentile,
         symmetric_asd=symmetric_asd,
     )
-    hd, asd = jax.lax.map(lambda ab: fn(ab[0], ab[1]), (pr, gr))
-    return hd.reshape(b, r), asd.reshape(b, r)
+    if nsd_tol is None:
+        hd, asd = jax.lax.map(lambda ab: fn(ab[0], ab[1]), (pr, gr))
+        return hd.reshape(b, r), asd.reshape(b, r)
+
+    tol_r = jnp.broadcast_to(jnp.asarray(nsd_tol, jnp.float32).reshape(-1), (r,))
+    tol_pair = jnp.tile(tol_r, b)  # pair index = i*r + region
+    hd, asd, nsd = jax.lax.map(
+        lambda abt: fn(abt[0], abt[1], nsd_tol=abt[2]), (pr, gr, tol_pair)
+    )
+    return hd.reshape(b, r), asd.reshape(b, r), nsd.reshape(b, r)

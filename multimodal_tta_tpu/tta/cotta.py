@@ -390,6 +390,25 @@ class CottaAdapter(TentAdapter):
 
         return adapt_fn
 
+    def serving_export_spec(self, source_state, threshold: float, predict_mode: str = "inline"):
+        """AOT-export protocol: the EMA teacher joins the threaded state
+        tuple (see TentAdapter.serving_export_spec)."""
+        step = self.build_serving_step(source_state, threshold, predict_mode)
+        state0 = (
+            source_state.params,
+            source_state.batch_stats,
+            self._tx.init(self.trainable_subtree(source_state.params)),
+            self.trainable_subtree(source_state.params),  # teacher0
+        )
+
+        def call(st, image, rng, n_valid, ent_floor):
+            params, bs, opt, teacher, ents, pred = step(
+                st[0], st[1], st[2], st[3], image, rng, n_valid, ent_floor
+            )
+            return (params, bs, opt, teacher), ents, pred
+
+        return call, state0
+
     def make_adapt_predict_fn(
         self, source_state, threshold: float, predict_mode: Optional[str] = None
     ) -> Callable:

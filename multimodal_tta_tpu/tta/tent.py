@@ -846,6 +846,44 @@ class TentAdapter:
 
         return adapt_fn
 
+    def build_serving_step(
+        self, source_state, threshold: float, predict_mode: str = "inline"
+    ) -> Callable:
+        """The fused adapt+segment step as a PURE jitted function —
+        ``step(params, batch_stats, opt_state, image, rng, n_valid,
+        ent_floor) -> (params, batch_stats, opt_state, ents, pred)`` with no
+        adapter-held state threaded through Python. This is the function the
+        AOT serving exporter (serving/export.py) serializes; ``make_*``
+        below wrap the same jit with the host-side rng/opt-state bookkeeping
+        the live eval loop wants."""
+        return self._build_adapt_step(
+            source_state,
+            predict_threshold=float(threshold),
+            predict_mode=str(predict_mode).lower(),
+        )
+
+    def serving_export_spec(self, source_state, threshold: float, predict_mode: str = "inline"):
+        """The AOT-export protocol (serving/export.py): returns
+        ``(call, state0)`` where ``call(state_tuple, image, rng, n_valid,
+        ent_floor) -> (state_tuple', ents, pred)`` is pure and ``state0`` is
+        the tuple of pytrees a serving runtime threads batch to batch.
+        Subclasses with extra carried state (CoTTA's teacher, SAR's entropy
+        EMA) extend the tuple; the exporter is structure-agnostic."""
+        step = self.build_serving_step(source_state, threshold, predict_mode)
+        state0 = (
+            source_state.params,
+            source_state.batch_stats,
+            self._tx.init(self.trainable_subtree(source_state.params)),
+        )
+
+        def call(st, image, rng, n_valid, ent_floor):
+            params, bs, opt, ents, pred = step(
+                st[0], st[1], st[2], image, rng, n_valid, ent_floor
+            )
+            return (params, bs, opt), ents, pred
+
+        return call, state0
+
     def make_adapt_predict_fn(
         self, source_state, threshold: float, predict_mode: Optional[str] = None
     ) -> Callable:

@@ -45,6 +45,27 @@ def oracle_metrics(pred, gt, spacing, percentile=95.0, symmetric_asd=False):
     return float(hd), float(asd)
 
 
+def oracle_nsd(pred, gt, spacing, tol):
+    """Normalized surface Dice at tolerance (Nikolov et al. 2018 / MONAI
+    compute_surface_dice): pooled fraction of surface voxels within tol of
+    the other surface. One empty surface -> 0; both empty -> nan."""
+    pred = pred.astype(bool)
+    gt = gt.astype(bool)
+    sp = oracle_surface(pred)
+    sg = oracle_surface(gt)
+    n = sp.sum() + sg.sum()
+    if n == 0:
+        return float("nan")
+    hits = 0
+    if sg.sum():
+        d_to_gt = ndimage.distance_transform_edt(~sg, sampling=spacing)
+        hits += int((d_to_gt[sp] <= tol).sum())
+    if sp.sum():
+        d_to_pred = ndimage.distance_transform_edt(~sp, sampling=spacing)
+        hits += int((d_to_pred[sg] <= tol).sum())
+    return hits / n
+
+
 def ball(shape, center, r):
     grids = np.meshgrid(*(np.arange(s) for s in shape), indexing="ij")
     d2 = sum((g - c) ** 2 for g, c in zip(grids, center))
@@ -152,6 +173,139 @@ class TestSurfaceMetrics:
             hd_o, asd_o = oracle_metrics(pred[0, ..., r], gt[0, ..., r], (1, 1, 1))
             assert float(hd[0, r]) == pytest.approx(hd_o, abs=1e-3)
             assert float(asd[0, r]) == pytest.approx(asd_o, abs=1e-3)
+
+
+class TestNSD:
+    @pytest.mark.parametrize("spacing,tol", [((1.0, 1.0, 1.0), 1.0),
+                                             ((1.0, 1.0, 1.0), 2.5),
+                                             ((3.0, 1.0, 1.0), 3.0)])
+    def test_parity_balls(self, spacing, tol):
+        shape = (16, 16, 16)
+        pred = ball(shape, (8, 8, 8), 5)
+        gt = ball(shape, (9, 7, 8), 4)
+        _, _, nsd = surface_metrics_single(
+            jnp.asarray(pred), jnp.asarray(gt), spacing, nsd_tol=tol
+        )
+        want = oracle_nsd(pred, gt, spacing, tol)
+        assert float(nsd) == pytest.approx(want, abs=1e-4)
+
+    def test_parity_random_blobs(self):
+        rng = np.random.RandomState(7)
+        for _ in range(3):
+            a = ndimage.binary_dilation(rng.rand(12, 14, 10) > 0.97, iterations=2)
+            b = ndimage.binary_dilation(rng.rand(12, 14, 10) > 0.97, iterations=2)
+            if a.sum() == 0 or b.sum() == 0:
+                continue
+            _, _, nsd = surface_metrics_single(
+                jnp.asarray(a.astype(np.float32)),
+                jnp.asarray(b.astype(np.float32)),
+                (1, 1, 1),
+                nsd_tol=1.5,
+            )
+            want = oracle_nsd(a, b, (1, 1, 1), 1.5)
+            assert float(nsd) == pytest.approx(want, abs=1e-4)
+
+    def test_identical_masks_one(self):
+        m = ball((10, 10, 10), (5, 5, 5), 3)
+        _, _, nsd = surface_metrics_single(
+            jnp.asarray(m), jnp.asarray(m), (1, 1, 1), nsd_tol=0.5
+        )
+        assert float(nsd) == pytest.approx(1.0, abs=1e-6)
+
+    def test_one_empty_is_zero_both_empty_inf(self):
+        gt = ball((8, 8, 8), (4, 4, 4), 2)
+        z = jnp.zeros((8, 8, 8))
+        _, _, nsd = surface_metrics_single(z, jnp.asarray(gt), (1, 1, 1), nsd_tol=1.0)
+        assert float(nsd) == pytest.approx(0.0, abs=1e-6)
+        _, _, nsd2 = surface_metrics_single(z, z, (1, 1, 1), nsd_tol=1.0)
+        assert np.isinf(float(nsd2))
+
+    def test_batched_per_region_tolerance(self):
+        shape = (12, 12, 12)
+        pred = np.stack(
+            [np.stack([ball(shape, (6, 6, 6), 4), ball(shape, (5, 5, 5), 3)], axis=-1)],
+            axis=0,
+        )
+        gt = np.stack(
+            [np.stack([ball(shape, (7, 6, 6), 4), ball(shape, (5, 6, 5), 3)], axis=-1)],
+            axis=0,
+        )
+        tols = [1.0, 2.0]
+        hd, asd, nsd = batched_surface_metrics(
+            jnp.asarray(pred), jnp.asarray(gt), spacing=(1, 1, 1), nsd_tol=tols
+        )
+        assert nsd.shape == (1, 2)
+        for r in range(2):
+            want = oracle_nsd(pred[0, ..., r], gt[0, ..., r], (1, 1, 1), tols[r])
+            assert float(nsd[0, r]) == pytest.approx(want, abs=1e-4)
+            # HD/ASD unchanged by the nsd computation
+            hd_o, asd_o = oracle_metrics(pred[0, ..., r], gt[0, ..., r], (1, 1, 1))
+            assert float(hd[0, r]) == pytest.approx(hd_o, abs=1e-3)
+            assert float(asd[0, r]) == pytest.approx(asd_o, abs=1e-3)
+
+    def test_seg_eval_reports_nsd(self):
+        """Full seg_eval pass with nsd_tol set: parity keys + the
+        empty-pred penalty (NSD -> 0, not the diagonal)."""
+        from multimodal_tta_tpu.conf import ConfigNode
+        from multimodal_tta_tpu.core.train_state import TrainState
+        from multimodal_tta_tpu.evaluation import SegmentationEvaluationStrategy
+        import optax
+
+        shape = (12, 12, 12)
+        gt = ball(shape, (6, 6, 6), 3)[None, ..., None]
+        pred_ball = ball(shape, (7, 6, 6), 3)[None, ..., None]
+        logits = np.where(pred_ball > 0, 5.0, -5.0).astype(np.float32)
+
+        class FixedModel:
+            def apply(self, variables, x, train=False):
+                return jnp.asarray(logits)
+
+        state = TrainState.create(
+            apply_fn=FixedModel().apply, params={"w": jnp.zeros(1)}, tx=optax.identity()
+        )
+        cfg = ConfigNode(
+            {
+                "evaluation": {
+                    "seg": {"region_order": ["gtvt"], "threshold": 0.5, "spacing": [1, 1, 1]},
+                    "surface": {"enable": True, "nsd_tol": 1.0},
+                },
+                "training": {"criterion": {"sigmoid": True}},
+            }
+        )
+        strat = SegmentationEvaluationStrategy(cfg)
+        batch = {"image": gt.astype(np.float32), "label": gt.astype(np.float32), "domain": ["d1"]}
+        metrics = strat.evaluate_epoch(state, [batch], mesh=None)
+        want = oracle_nsd(pred_ball[0, ..., 0], gt[0, ..., 0], (1, 1, 1), 1.0)
+        assert metrics["gtvt_nsd"] == pytest.approx(want, abs=1e-4)
+        assert metrics["avg_nsd"] == pytest.approx(want, abs=1e-4)
+        assert metrics["dom/d1/avg_nsd"] == pytest.approx(want, abs=1e-4)
+
+        # empty prediction against non-empty GT -> worst-case 0
+        class EmptyModel:
+            def apply(self, variables, x, train=False):
+                return jnp.full(logits.shape, -5.0)
+
+        state2 = TrainState.create(
+            apply_fn=EmptyModel().apply, params={"w": jnp.zeros(1)}, tx=optax.identity()
+        )
+        strat2 = SegmentationEvaluationStrategy(cfg)
+        m2 = strat2.evaluate_epoch(state2, [batch], mesh=None)
+        assert m2["gtvt_nsd"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_nsd_tol_list_length_mismatch_raises(self):
+        from multimodal_tta_tpu.conf import ConfigNode
+        from multimodal_tta_tpu.evaluation import SegmentationEvaluationStrategy
+
+        cfg = ConfigNode(
+            {
+                "evaluation": {
+                    "seg": {"region_order": ["a", "b"], "threshold": 0.5},
+                    "surface": {"enable": True, "nsd_tol": [1.0]},
+                }
+            }
+        )
+        with pytest.raises(ValueError, match="nsd_tol"):
+            SegmentationEvaluationStrategy(cfg)
 
 
 class TestEvalIntegration:
