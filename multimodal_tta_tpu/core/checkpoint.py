@@ -28,12 +28,17 @@ from flax import serialization
 
 
 def _state_payload(state) -> Dict[str, Any]:
-    return {
+    payload = {
         "step": state.step,
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
     }
+    # EMA shadow params ride along only when the run tracks them, keeping
+    # non-EMA checkpoints byte-compatible with earlier rounds
+    if getattr(state, "ema_params", None) is not None:
+        payload["ema_params"] = state.ema_params
+    return payload
 
 
 def save_checkpoint(path: str, state, extra: Dict[str, Any] = None) -> None:
@@ -88,6 +93,15 @@ def load_checkpoint(path: str, template_state) -> Tuple[Any, Dict[str, Any]]:
     with open(path + ".msgpack", "rb") as f:
         blob = f.read()
     template = jax.device_get(_state_payload(template_state))
+    # EMA presence may differ between the checkpoint and the resuming run
+    # (training.ema toggled between runs): probe the raw payload's keys and
+    # adapt rather than failing the exact-keys structural restore.
+    raw_keys = set(serialization.msgpack_restore(blob).keys())
+    blob_has_ema = "ema_params" in raw_keys
+    if blob_has_ema and "ema_params" not in template:
+        template["ema_params"] = jax.device_get(template_state.params)
+    if not blob_has_ema and "ema_params" in template:
+        template.pop("ema_params")
     restored = serialization.from_bytes(template, blob)
     state = template_state.replace(
         step=restored["step"],
@@ -95,7 +109,39 @@ def load_checkpoint(path: str, template_state) -> Tuple[Any, Dict[str, Any]]:
         batch_stats=restored["batch_stats"],
         opt_state=restored["opt_state"],
     )
+    if blob_has_ema:
+        state = state.replace(ema_params=restored["ema_params"])
+    elif getattr(template_state, "ema_params", None) is not None:
+        # resuming WITH ema from a pre-ema checkpoint: warm-start the shadow
+        # at the restored params (the standard EMA init)
+        from ..utils.logger import get_logger
+
+        get_logger().info(
+            "[checkpoint] no ema_params in checkpoint; warm-starting the EMA "
+            "shadow from the restored params"
+        )
+        # distinct host copies: sharing the np buffers with params could
+        # alias the two device buffers at the next donated step
+        state = state.replace(
+            ema_params=jax.tree_util.tree_map(np.copy, restored["params"])
+        )
     return state, _read_sidecar(path)
+
+
+def resolve_serving_params(state, use_ema: bool):
+    """Swap the EMA shadow in as the serving/adaptation params
+    (``training.use_ema_params`` in adapt.py / predict.py). Hard-fails when
+    requested on a checkpoint without a shadow — silently serving the raw
+    params when EMA metrics selected the checkpoint would be the silent
+    config-ignore failure mode."""
+    if not use_ema:
+        return state
+    if getattr(state, "ema_params", None) is None:
+        raise ValueError(
+            "[checkpoint] training.use_ema_params=true but the checkpoint "
+            "carries no ema_params — train with training.ema.enabled=true"
+        )
+    return state.replace(params=state.ema_params)
 
 
 def _read_sidecar(path: str) -> Dict[str, Any]:
@@ -168,4 +214,9 @@ def load_checkpoint_sharded(path: str, template_state) -> Tuple[Any, Dict[str, A
         batch_stats=restored["batch_stats"],
         opt_state=restored["opt_state"],
     )
+    # EMA rides along when the template tracks it (toggling training.ema
+    # between an orbax save and the resume is unsupported — the structural
+    # restore needs matching trees; use the msgpack format for that)
+    if "ema_params" in restored:
+        state = state.replace(ema_params=restored["ema_params"])
     return state, _read_sidecar(path)

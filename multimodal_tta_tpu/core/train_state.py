@@ -21,6 +21,10 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     apply_fn: Callable = struct.field(pytree_node=False)
+    # Polyak/EMA shadow of ``params`` (training.ema) — None when disabled.
+    # Updated inside the jitted train step; evaluation/checkpoint-selection
+    # read it via trainer.eval_state() when training.ema.eval is on.
+    ema_params: Any = None
 
     @classmethod
     def create(cls, *, apply_fn, params, tx, batch_stats=None) -> "TrainState":

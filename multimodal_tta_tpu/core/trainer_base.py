@@ -264,12 +264,19 @@ class TrainerBase(ABC):
         return final
 
     # ------------------------------------------------------------------
+    def eval_state(self):
+        """The state evaluation runs on. Base: the live training state;
+        SegTrainer swaps in the EMA shadow when training.ema.eval is on —
+        best-model selection (the CheckpointHook keys on evaluate()'s
+        is_best) then follows the EMA metrics."""
+        return self.state
+
     def evaluate(self, epoch: int, data_loader) -> Tuple[Dict[str, float], bool]:
         if self.evaluation_strategy is None:
             self.logger.warning("Evaluation skipped: no strategy attached to the trainer.")
             return {}, False
         self._emit("before_val")
-        eval_stats = self.evaluation_strategy.evaluate_epoch(self.state, data_loader, self.mesh)
+        eval_stats = self.evaluation_strategy.evaluate_epoch(self.eval_state(), data_loader, self.mesh)
         self.logger.info(f"Epoch {epoch} evaluation results: {eval_stats}")
         is_best = self._is_best_model(eval_stats)
         if is_best:
@@ -280,14 +287,14 @@ class TrainerBase(ABC):
     def eval_on_train(self, epoch: int, data_loader) -> Dict[str, float]:
         if self.evaluation_strategy is None:
             return {}
-        stats = self.evaluation_strategy.evaluate_epoch(self.state, data_loader, self.mesh)
+        stats = self.evaluation_strategy.evaluate_epoch(self.eval_state(), data_loader, self.mesh)
         self.logger.info(f"Epoch {epoch} evaluation on train dataset results: {stats}")
         return stats
 
     def test(self, epoch: int, data_loader) -> Dict[str, float]:
         if self.evaluation_strategy is None:
             return {}
-        stats = self.evaluation_strategy.evaluate_epoch(self.state, data_loader, self.mesh)
+        stats = self.evaluation_strategy.evaluate_epoch(self.eval_state(), data_loader, self.mesh)
         self.logger.info(f"Epoch {epoch} test results: {stats}")
         return stats
 

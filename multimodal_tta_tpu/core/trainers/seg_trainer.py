@@ -95,12 +95,33 @@ class SegTrainer(TrainerBase):
         td = str(get_config(config, "training.transfer_dtype", "float32")).lower()
         self._transfer_dtype = {"float32": None, "float16": np.float16, "bfloat16": jnp.bfloat16}[td]
 
+        # Train-time weight EMA (Polyak averaging): a shadow copy of params
+        # updated inside the jitted step; training.ema.eval evaluates (and
+        # therefore best-model-selects) on the shadow. The shadow costs one
+        # elementwise tree_map per step (~params-sized HBM read+write,
+        # sub-ms against the conv step) and doubles param memory only.
+        ema_cfg = get_config(config, "training.ema", ConfigNode())
+        self.ema_enabled = bool(get_config(ema_cfg, "enabled", False))
+        self.ema_decay = float(get_config(ema_cfg, "decay", 0.999))
+        self.ema_eval = bool(get_config(ema_cfg, "eval", True))
+        if self.ema_enabled and not (0.0 < self.ema_decay < 1.0):
+            raise ValueError(f"[SegTrainer] training.ema.decay must be in (0,1), got {self.ema_decay}")
+
         self._rng = jax.random.PRNGKey(int(get_config(config, "task.seed", 0)))
         self._train_step = None  # built lazily (needs mesh + state structure)
         self._pending_loss = None
 
     # ------------------------------------------------------------------
     def _build_train_step(self):
+        if self.ema_enabled and getattr(self.state, "ema_params", None) is None:
+            # standard EMA init: the shadow starts at a COPY of the current
+            # params — aliasing the same buffers would make the donated
+            # state contain each buffer twice (Execute() rejects that)
+            self.state = self.state.replace(
+                ema_params=jax.tree_util.tree_map(jnp.copy, self.state.params)
+            )
+        ema_on = self.ema_enabled
+        ema_decay = self.ema_decay
         norm_fn = self._norm_fn
         do_int_aug = bool(self.device_transform.get("intensity_aug"))
         int_scale = float(self.device_transform.get("int_scale", 0.1))
@@ -210,6 +231,14 @@ class SegTrainer(TrainerBase):
             state = state.apply_gradients(grads)
             if state.batch_stats:
                 state = state.replace(batch_stats=new_bs)
+            if ema_on:
+                state = state.replace(
+                    ema_params=jax.tree_util.tree_map(
+                        lambda e, p: e * ema_decay + (1.0 - ema_decay) * p,
+                        state.ema_params,
+                        state.params,
+                    )
+                )
             return state, {"loss": loss}
 
         if self.mesh is not None:
@@ -230,6 +259,16 @@ class SegTrainer(TrainerBase):
                 donate_argnums=(0,),
             )
         return jax.jit(step, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def eval_state(self):
+        if (
+            self.ema_enabled
+            and self.ema_eval
+            and getattr(self.state, "ema_params", None) is not None
+        ):
+            return self.state.replace(params=self.state.ema_params)
+        return self.state
 
     # ------------------------------------------------------------------
     def _check_shapes(self, image: np.ndarray, label: np.ndarray) -> None:

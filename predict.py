@@ -66,6 +66,12 @@ def main(argv=None):
     if resume:
         manager.state, _ = load_checkpoint(str(resume), manager.state)
         logger.info(f"Loaded checkpoint: {resume}")
+        from multimodal_tta_tpu.core.checkpoint import resolve_serving_params
+
+        use_ema = bool(get_config(cfg, "training.use_ema_params", False))
+        manager.state = resolve_serving_params(manager.state, use_ema)
+        if use_ema:
+            logger.info("Exporting predictions from the EMA shadow weights")
     else:
         logger.warning("No training.resume checkpoint given — exporting from a RANDOM-init model")
 

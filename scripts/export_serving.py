@@ -69,10 +69,13 @@ def main(argv=None):
     resume = get_config(cfg, "training.resume", None)
     if not resume:
         raise ValueError("[export] training.resume=<checkpoint> is required")
-    from multimodal_tta_tpu.core.checkpoint import load_checkpoint
+    from multimodal_tta_tpu.core.checkpoint import load_checkpoint, resolve_serving_params
 
     state, _ = load_checkpoint(str(resume), manager.state)
     logger.info(f"[export] loaded checkpoint {resume}")
+    state = resolve_serving_params(
+        state, bool(get_config(cfg, "training.use_ema_params", False))
+    )
 
     # ---- serving shapes from the dataset contract --------------------
     batch = int(get_config(cfg, "export.batch_size",
