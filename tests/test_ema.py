@@ -105,6 +105,28 @@ class TestEmaStep:
             make_trainer({"enabled": True, "decay": 1.5})
 
 
+class TestEmaMesh:
+    def test_mesh_shadow_matches_single_device(self):
+        """Data-parallel 8-device mesh: the replicated shadow must follow
+        the same recursion as the mesh=None run (same seed, same batch)."""
+        from multimodal_tta_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()  # all devices on the data axis
+        t_mesh, batch = make_trainer({"enabled": True, "decay": 0.9})
+        t_none, _ = make_trainer({"enabled": True, "decay": 0.9})
+        t_mesh.mesh = mesh
+        with mesh:
+            for _ in range(2):
+                t_mesh.run_step(batch)
+        for _ in range(2):
+            t_none.run_step(batch)
+        for a, b in zip(
+            leaves(jax.device_get(t_mesh.state.ema_params)),
+            leaves(jax.device_get(t_none.state.ema_params)),
+        ):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
 class TestEmaCheckpoint:
     def test_roundtrip_preserves_shadow(self, tmp_path):
         trainer, batch = make_trainer({"enabled": True, "decay": 0.9})
