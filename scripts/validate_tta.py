@@ -70,17 +70,26 @@ def ensure_fixture(root: str) -> str:
     )
 
 
-def train_source(manifest: str, epochs: int, out_root: str, resume: str = None):
-    """Train the flagship UNet on the source centers; returns (manager, cfg).
-    With ``resume`` (a checkpoint path sans extension), training is skipped
-    and the checkpoint is loaded instead — re-evaluating new TTA configs
-    against an already-trained source model costs no retraining."""
+def train_source(manifest: str, epochs: int, out_root: str, resume: str = None,
+                 model: str = "unet"):
+    """Train the source model (default: the flagship UNet) on the source
+    centers; returns (manager, cfg). With ``resume`` (a checkpoint path sans
+    extension), training is skipped and the checkpoint is loaded instead —
+    re-evaluating new TTA configs against an already-trained source model
+    costs no retraining. ``--model unet_ws`` measures the compound
+    throughput-max config's quality (unet_ws + tail scope, BASELINE.md)."""
     from _validate_common import bring_up
 
+    # registry names without their own config group (unet_ws, unet variants)
+    # ride the unet group file with the name overridden, as validate_unet_ws
+    # does
+    group = model if os.path.exists(
+        os.path.join(REPO_ROOT, "configs", "model", f"{model}.yaml")) else "unet"
     overrides = [
         "task=hecktor21",
         "dataset=hecktor21",
-        "model=unet",
+        f"model={group}",
+        *([] if group == model else [f"model.name={model}"]),
         f"dataset.manifest_csv={manifest}",
         "dataset.expected_shape=[144,144,48]",
         "dataset.target_center=CHUP",
@@ -99,9 +108,9 @@ def train_source(manifest: str, epochs: int, out_root: str, resume: str = None):
         "training.eval_test.do_test=false",
         "training.model_save_start=9999",
         f"task.save_dir={out_root}",
-        "task.run_name=tta_validate",
+        f"task.run_name=tta_validate_{model}",
     ]
-    return bring_up(overrides, resume=resume, tag="validate_tta")
+    return bring_up(overrides, resume=resume, tag=f"validate_tta_{model}")
 
 
 def eval_mode(manager, cfg, test_loader, device_transform, tta_over: dict):
@@ -165,6 +174,8 @@ def main() -> None:
                     help="checkpoint path (sans extension) — skip training")
     ap.add_argument("--fixture", default=os.path.join(REPO_ROOT, ".tta_validate_fixture"))
     ap.add_argument("--out", default=None)
+    ap.add_argument("--model", default="unet",
+                    help="source model to train/adapt (unet | unet_ws | ...)")
     ap.add_argument("--scope-list", nargs="*", default=None,
                     help="tta.update_path_regex values for the layer-scoped "
                          "Tent sweep (quality side of the BASELINE.md speed "
@@ -175,12 +186,14 @@ def main() -> None:
 
     manifest = ensure_fixture(args.fixture)
     manager, cfg = train_source(manifest, args.epochs, os.path.join(args.fixture, "runs"),
-                                resume=args.resume)
+                                resume=args.resume, model=args.model)
     if not args.resume:
         # persist the source model so later sweeps (--resume) skip training
         from multimodal_tta_tpu.core.checkpoint import save_checkpoint
 
-        ckpt = os.path.join(args.fixture, "runs", "source_ckpt")
+        ckpt = os.path.join(args.fixture, "runs",
+                            "source_ckpt" if args.model == "unet"
+                            else f"source_ckpt_{args.model}")
         save_checkpoint(ckpt, manager.state)
         print(f"[validate_tta] source checkpoint saved: {ckpt}", file=sys.stderr)
 
