@@ -56,6 +56,10 @@ def build_optimizer(training_cfg, params) -> Tuple[optax.GradientTransformation,
     """Build the optax chain; returns (tx, base_lr). The chain is wrapped in
     inject_hyperparams so opt_state.hyperparams['learning_rate'] is mutable."""
     opt_name = str(get_config(training_cfg, "optimizer", "sgd")).lower()
+    if opt_name not in ("sgd", "adam", "adamw", "adafactor"):
+        # validate eagerly: inject_hyperparams defers the inner factory to
+        # init time, which would push a config typo's error past bring-up
+        raise ValueError(f"Unsupported optimizer: {opt_name}")
     blocks = get_config(training_cfg, "optimizers", ConfigNode())
     opt_cfg = get_config(blocks, opt_name, ConfigNode())
 
@@ -86,6 +90,34 @@ def build_optimizer(training_cfg, params) -> Tuple[optax.GradientTransformation,
             if wd > 0:
                 parts.append(optax.add_decayed_weights(wd, mask=mask))
             parts.append(optax.adam(learning_rate, b1=float(betas[0]), b2=float(betas[1]), eps=eps))
+        elif opt_name == "adafactor":
+            # Memory-lean option beyond the reference's torch surface: the
+            # factored second moment stores row/col statistics instead of a
+            # full params-sized tensor (Shazeer & Stern 2018), cutting
+            # optimizer HBM from ~2x params (Adam mu+nu) to ~1x+eps. This is
+            # what makes the measured single-chip moe8 OOM case trainable
+            # (BASELINE.md: Adam moments put experts=8 246M over v5e HBM).
+            # momentum=None (the Adafactor default) is the memory-lean mode;
+            # set training.optimizers.adafactor.momentum for quality parity
+            # experiments (costs a params-sized slot, still saves nu).
+            momentum = get_config(opt_cfg, "momentum", None)
+            if wd > 0:
+                parts.append(optax.add_decayed_weights(wd, mask=mask))
+            parts.append(
+                optax.adafactor(
+                    learning_rate,
+                    min_dim_size_to_factor=int(get_config(opt_cfg, "min_dim_size_to_factor", 128)),
+                    decay_rate=float(get_config(opt_cfg, "decay_rate", 0.8)),
+                    momentum=None if momentum in (None, 0, 0.0, False, "none") else float(momentum),
+                    clipping_threshold=float(get_config(opt_cfg, "clipping_threshold", 1.0)),
+                    # the factory injects the LR explicitly, so disable
+                    # Adafactor's relative-scale heuristic by default to keep
+                    # the epoch scheduler semantics identical across optimizers
+                    multiply_by_parameter_scale=bool(
+                        get_config(opt_cfg, "multiply_by_parameter_scale", False)
+                    ),
+                )
+            )
         elif opt_name == "adamw":
             betas = get_config(opt_cfg, "betas", [0.9, 0.999])
             eps = float(get_config(opt_cfg, "eps", 1e-8))

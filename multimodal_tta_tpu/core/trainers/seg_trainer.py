@@ -245,12 +245,18 @@ class SegTrainer(TrainerBase):
             bsh = batch_sharding(self.mesh)
             rep = replicated(self.mesh)
             st = rep
-            if moe_on and self.mesh.shape.get("expert", 1) > 1:
-                from ...parallel.mesh import expert_state_sharding
+            zero1 = bool(get_config(self.config, "training.zero1", False)) and (
+                self.mesh.shape.get("data", 1) > 1
+            )
+            if zero1 or (moe_on and self.mesh.shape.get("expert", 1) > 1):
+                from ...parallel.mesh import train_state_sharding
 
                 # expert parallelism: MoE params + their Adam moments live
-                # sharded over the expert axis (each device holds E/ep experts)
-                st = expert_state_sharding(self.mesh, self.state)
+                # sharded over the expert axis (each device holds E/ep
+                # experts). training.zero1 additionally shards ALL optimizer
+                # moments over the data axis (ZeRO-1): each device updates
+                # 1/dp of the moments and XLA all-gathers the param update.
+                st = train_state_sharding(self.mesh, self.state, zero1=zero1)
                 self.state = jax.device_put(self.state, st)
             return jax.jit(
                 step,

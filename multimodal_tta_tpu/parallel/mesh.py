@@ -234,6 +234,56 @@ def expert_state_sharding(mesh: Mesh, state) -> Any:
     return jax.tree_util.tree_map_with_path(spec, state)
 
 
+def train_state_sharding(mesh: Mesh, state, zero1: bool = False) -> Any:
+    """Per-leaf NamedSharding tree for a TrainState: the expert rule
+    (``expert_state_sharding``) plus — with ``zero1`` — optimizer-state
+    sharding over the mesh ``data`` axis (ZeRO stage 1 / the scaling-book
+    "optimizer state sharding" recipe, expressed as shardings instead of
+    manual collectives):
+
+    Every leaf under ``opt_state`` (Adam/Adafactor moments, factored stats)
+    shards its largest data-divisible dim over ``data``; params/EMA stay
+    replicated so forward/backward are unchanged pure data parallelism. XLA
+    then computes the moment update on 1/dp of each tensor per device and
+    all-gathers only the final param update — optimizer memory drops from
+    2x params (Adam) to 2x/dp, the classic DP memory win, with the
+    collective riding ICI. Composes with expert parallelism: expert-sharded
+    moments keep dim 0 on ``expert`` and ZeRO-shard a later dim.
+    """
+    dsize = int(mesh.shape.get(DATA_AXIS, 1))
+    esize = int(mesh.shape.get(EXPERT_AXIS, 1))
+
+    def spec(path, leaf):
+        ndim = getattr(leaf, "ndim", 0)
+        axes = [None] * ndim
+        if ndim >= 1:
+            keys = [p.key for p in path if isinstance(p, jax.tree_util.DictKey)]
+            if (
+                esize > 1
+                and keys
+                and keys[-1] in _MOE_EXPERT_LEAVES
+                and "moe" in keys
+                and leaf.shape[0] % esize == 0
+            ):
+                axes[0] = EXPERT_AXIS
+            in_opt = bool(path) and getattr(path[0], "name", None) == "opt_state"
+            if zero1 and dsize > 1 and in_opt:
+                # largest divisible dim not already expert-sharded; ties to
+                # the later dim (minor dims keep XLA layouts contiguous)
+                best = -1
+                for d in range(ndim):
+                    if axes[d] is None and leaf.shape[d] % dsize == 0 and leaf.shape[d] > 0:
+                        if best < 0 or leaf.shape[d] >= leaf.shape[best]:
+                            best = d
+                if best >= 0:
+                    axes[best] = DATA_AXIS
+        if not any(axes):
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P(*axes))
+
+    return jax.tree_util.tree_map_with_path(spec, state)
+
+
 def data_axis_size(mesh: Mesh) -> int:
     """Batch-dim divisibility requirement (the data axis extent)."""
     return int(mesh.shape.get(DATA_AXIS, 1))

@@ -111,10 +111,26 @@ def main() -> None:
     ap.add_argument("--dense-ref", type=float, default=None,
                     help="best_val_avg_dc of an already-measured dense run — "
                          "skips retraining the dense variant")
+    ap.add_argument("--optimizer", default="adam",
+                    help="training.optimizer for BOTH variants. adafactor's "
+                         "factored second moment is the single-chip answer to "
+                         "the measured moe8 Adam-moment OOM (BASELINE.md)")
+    ap.add_argument("--moe-device-cache", action="store_true",
+                    help="keep training.device_cache=true for the routed "
+                         "variant (OOMs with adam at experts=8 — the case "
+                         "--optimizer adafactor exists to fix)")
     args = ap.parse_args()
 
     manifest = ensure_fixture(args.fixture)
     out_root = os.path.join(args.fixture, "runs")
+
+    opt_over = []
+    if args.optimizer != "adam":
+        opt_over = [
+            f"training.optimizer={args.optimizer}",
+            f"training.optimizers.{args.optimizer}.lr=1e-3",
+            f"training.optimizers.{args.optimizer}.weight_decay=0.0",
+        ]
 
     if args.dense_ref is not None:
         rows = [{"variant": "dense", "epochs": args.epochs, "params_m": 96.4,
@@ -122,7 +138,7 @@ def main() -> None:
                  "final_val_avg_dc": args.dense_ref,
                  "wall_s": None, "s_per_epoch": None}]
     else:
-        rows = [run_one("dense", [], manifest, args.epochs, out_root)]
+        rows = [run_one("dense", list(opt_over), manifest, args.epochs, out_root)]
     print(json.dumps(rows[-1]))
     # training.device_cache=false for the routed variant only: its Adam
     # moments (294.7M params) put the batch-8 train step 246M over one v5e
@@ -131,10 +147,14 @@ def main() -> None:
     # each shifts XLA to pathological 4x-padded layout copies of the dec0
     # norm input.) The optimization trajectory is unchanged — same batch
     # size, same data order.
+    moe_extra = [f"model.moe_experts={args.experts}"] + list(opt_over)
+    if not args.moe_device_cache:
+        moe_extra.append("training.device_cache=false")
     rows.append(
         run_one(
-            f"moe{args.experts}",
-            [f"model.moe_experts={args.experts}", "training.device_cache=false"],
+            f"moe{args.experts}_{args.optimizer}" if args.optimizer != "adam"
+            else f"moe{args.experts}",
+            moe_extra,
             manifest,
             args.epochs,
             out_root,
