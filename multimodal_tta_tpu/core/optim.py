@@ -136,19 +136,47 @@ def build_optimizer(training_cfg, params) -> Tuple[optax.GradientTransformation,
         return optax.chain(*parts)
 
     tx = optax.inject_hyperparams(lambda learning_rate: make(learning_rate))(learning_rate=lr)
+
+    # Gradient accumulation (training.grad_accum=k): each run_step processes a
+    # microbatch; MultiSteps keeps a running average of the grads in opt_state
+    # and applies one optimizer update every k-th step, so the effective batch
+    # is k * training.batch_size at the activation memory of ONE microbatch.
+    # This is the single-chip answer to whole-volume HBM walls (BASELINE.md
+    # hard-part 4): batch-1 activations, batch-k gradient statistics. The
+    # accumulator is a params-sized opt_state leaf, so training.zero1 shards
+    # it over the data axis like any other moment.
+    accum = int(get_config(training_cfg, "grad_accum", 1))
+    if accum < 1:
+        raise ValueError(f"training.grad_accum must be >= 1, got {accum}")
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx, lr
 
 
+def _hyperparams_state(opt_state):
+    """The inject_hyperparams state, unwrapping optax.MultiSteps if present."""
+    while not hasattr(opt_state, "hyperparams"):
+        if hasattr(opt_state, "inner_opt_state"):
+            opt_state = opt_state.inner_opt_state
+        else:
+            raise AttributeError(
+                f"no inject_hyperparams state found in {type(opt_state).__name__}"
+            )
+    return opt_state
+
+
 def set_learning_rate(opt_state, lr: float):
-    """Update the injected learning rate in an inject_hyperparams state."""
-    opt_state.hyperparams["learning_rate"] = jax.numpy.asarray(
-        lr, dtype=opt_state.hyperparams["learning_rate"].dtype
+    """Update the injected learning rate in an inject_hyperparams state
+    (possibly nested inside an optax.MultiSteps wrapper)."""
+    hp = _hyperparams_state(opt_state)
+    hp.hyperparams["learning_rate"] = jax.numpy.asarray(
+        lr, dtype=hp.hyperparams["learning_rate"].dtype
     )
     return opt_state
 
 
 def get_learning_rate(opt_state) -> float:
-    return float(opt_state.hyperparams["learning_rate"])
+    return float(_hyperparams_state(opt_state).hyperparams["learning_rate"])
 
 
 class EpochScheduler:

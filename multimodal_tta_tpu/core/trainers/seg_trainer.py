@@ -100,6 +100,12 @@ class SegTrainer(TrainerBase):
         # therefore best-model-selects) on the shadow. The shadow costs one
         # elementwise tree_map per step (~params-sized HBM read+write,
         # sub-ms against the conv step) and doubles param memory only.
+        # gradient accumulation (training.grad_accum, core/optim.py): params
+        # only move every k-th microstep, so the EMA shadow must tick on the
+        # apply boundary, not per microstep (k no-op EMA updates would pull
+        # the shadow toward frozen params and change the effective decay).
+        self.grad_accum = int(get_config(config, "training.grad_accum", 1))
+
         ema_cfg = get_config(config, "training.ema", ConfigNode())
         self.ema_enabled = bool(get_config(ema_cfg, "enabled", False))
         self.ema_decay = float(get_config(ema_cfg, "decay", 0.999))
@@ -122,6 +128,7 @@ class SegTrainer(TrainerBase):
             )
         ema_on = self.ema_enabled
         ema_decay = self.ema_decay
+        grad_accum = self.grad_accum
         norm_fn = self._norm_fn
         do_int_aug = bool(self.device_transform.get("intensity_aug"))
         int_scale = float(self.device_transform.get("int_scale", 0.1))
@@ -232,9 +239,16 @@ class SegTrainer(TrainerBase):
             if state.batch_stats:
                 state = state.replace(batch_stats=new_bs)
             if ema_on:
+                if grad_accum > 1:
+                    # mini_step cycles 0..k-1 and is 0 right after an apply;
+                    # decay collapses to 1.0 (identity) on accumulate-only steps
+                    applied = (state.opt_state.mini_step == 0).astype(jnp.float32)
+                    d = ema_decay * applied + (1.0 - applied)
+                else:
+                    d = ema_decay
                 state = state.replace(
                     ema_params=jax.tree_util.tree_map(
-                        lambda e, p: e * ema_decay + (1.0 - ema_decay) * p,
+                        lambda e, p: e * d + (1.0 - d) * p,
                         state.ema_params,
                         state.params,
                     )
