@@ -161,6 +161,11 @@ def build_adapter_state(predict_mode: str = "post", episodic: bool = True):
     if method == "cotta":
         tta_node.update({"ema": 0.999, "n_views": int(os.environ.get("BENCH_COTTA_VIEWS", "1")),
                          "serve": "teacher"})
+    if method == "memo":
+        # marginal-entropy serving: V view forwards + backward through all
+        # of them per step (tta/memo.py); serve=marginal is free inline
+        tta_node.update({"n_views": int(os.environ.get("BENCH_MEMO_VIEWS", "4")),
+                         "serve": "marginal"})
     # BENCH_TTA_REGEX scopes the adapted norm set (tta.update_path_regex).
     # Late-layer scopes truncate the backward at the earliest adapted param
     # (reverse-mode AD needs nothing upstream of it) — the speed/quality

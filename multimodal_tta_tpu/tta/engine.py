@@ -64,3 +64,39 @@ class TTAEngine:
             adapt_fn=adapt_fn,
             carry_state=not self.adapter.episodic,
         )
+
+
+def classifier_logits_apply(model):
+    """Adapt a classification backbone with the TTA engine.
+
+    The 2D backbone registry (resnet/densenet/vit/efficientnet — the
+    reference's torchvision wrappers, e.g. /root/reference/src/models/
+    resnet.py:130-161) returns ``(features, logits)``; the adapters expect
+    an ``apply_fn`` whose output is the logits tensor (plus the
+    ``batch_stats`` update dict when called mutable — the BatchNorm
+    statistic-recompute path, which for classifiers under covariate shift
+    is most of Tent's value). This wrapper bridges the two contracts so a
+    ``TrainState`` built from any registered backbone drops straight into
+    ``tta.method=tent/memo/sar/...``:
+
+        state = TrainState.create(apply_fn=classifier_logits_apply(model),
+                                  params=v["params"],
+                                  batch_stats=v["batch_stats"], ...)
+
+    Classification is the TTA literature's native setting (Tent, MEMO, SAR
+    and EATA were all published on corrupted-classification benchmarks);
+    the segmentation workloads add the dense-3D machinery on top, but the
+    engine itself is model-agnostic — tests/test_tta_classification.py
+    holds the proof (BN-stat recompute + affine entropy minimization
+    recovers accuracy under covariate shift with zero labels).
+    """
+
+    def apply_fn(variables, x, train=False, mutable=None, **kw):
+        if mutable:
+            (_, logits), updates = model.apply(
+                variables, x, train=train, mutable=mutable, **kw
+            )
+            return logits, updates
+        return model.apply(variables, x, train=train, **kw)[1]
+
+    return apply_fn

@@ -121,26 +121,30 @@ def eval_mode(manager, cfg, test_loader, device_transform, tta_over: dict):
 
 
 def eval_inline(manager, cfg, test_loader, device_transform, steps: int, lr: float,
-                focus: str = "all", scope: str = None):
+                focus: str = "all", scope: str = None, method: str = "tent",
+                method_kw: dict = None):
     """Online protocol: Dice of the inline predictions themselves (continual
     stream over the target center). ``scope`` restricts the adapted norm set
     via tta.update_path_regex (layer-scoped Tent — late scopes truncate the
-    backward; speed ladder in BASELINE.md)."""
+    backward; speed ladder in BASELINE.md). ``method`` picks any registered
+    TTA method (tent / memo / sar / ...); ``method_kw`` carries its extra
+    knobs (e.g. memo's n_views)."""
     import numpy as np
     import jax.numpy as jnp
 
     from multimodal_tta_tpu.conf import ConfigNode
-    from multimodal_tta_tpu.tta import TentAdapter
+    from multimodal_tta_tpu.registry import get_tta_method
     from multimodal_tta_tpu.utils.config import get_config
 
-    node = {"method": "tent", "steps": steps, "lr": lr, "optimizer": "sgd",
+    node = {"method": method, "steps": steps, "lr": lr, "optimizer": "sgd",
             "momentum": 0.9, "update": "norm", "episodic": False,
             "entropy_focus": focus}
+    node.update(method_kw or {})
     if scope:
         node["update_path_regex"] = scope
     tta_cfg = ConfigNode(node)
-    adapter = TentAdapter(tta_cfg, config=cfg, mesh=manager.mesh,
-                          device_transform=device_transform)
+    adapter = get_tta_method(method)(tta_cfg, config=cfg, mesh=manager.mesh,
+                                     device_transform=device_transform)
     thr = float(get_config(cfg, "evaluation.seg.threshold", 0.3))
     ap = adapter.make_adapt_predict_fn(manager.state, threshold=thr,
                                        predict_mode="inline")
@@ -182,7 +186,21 @@ def main() -> None:
                          "ladder). When given, ONLY the scope comparison runs: "
                          "no-adapt + full-norm + each scope, online-inline and "
                          "episodic, over --steps-list x --lrs.")
+    ap.add_argument("--method", default="tent",
+                    help="registered TTA method for the main sweep "
+                         "(tent | memo | sar | eata | cotta | norm)")
+    ap.add_argument("--method-kw", action="append", default=[],
+                    help="extra tta.<k>=<v> knobs for --method, repeatable "
+                         "(e.g. --method-kw n_views=4); values parse as YAML "
+                         "scalars")
     args = ap.parse_args()
+
+    import yaml
+
+    method_kw = {}
+    for kv in args.method_kw:
+        k, _, v = kv.partition("=")
+        method_kw[k] = yaml.safe_load(v)
 
     manifest = ensure_fixture(args.fixture)
     manager, cfg = train_source(manifest, args.epochs, os.path.join(args.fixture, "runs"),
@@ -250,15 +268,16 @@ def main() -> None:
         return
 
     best = {"delta": 0.0, "mode": "no_adapt"}
+    meth = args.method
     for focus in args.focus_list:
         for steps in args.steps_list:
             for lr in args.lrs:
                 base = dict(steps=steps, lr=lr, optimizer="sgd", momentum=0.9,
                             update="norm", entropy_focus=focus,
-                            modality_dropout={"enabled": False})
+                            modality_dropout={"enabled": False}, **method_kw)
                 for name, tta in (
-                    ("tent_episodic", {"method": "tent", "episodic": True, **base}),
-                    ("tent_continual", {"method": "tent", "episodic": False, **base}),
+                    (f"{meth}_episodic", {"method": meth, "episodic": True, **base}),
+                    (f"{meth}_continual", {"method": meth, "episodic": False, **base}),
                 ):
                     m = eval_mode(manager, cfg, test_loader, device_transform, tta)
                     row = {"mode": name, "focus": focus, "steps": steps, "lr": lr,
@@ -270,8 +289,9 @@ def main() -> None:
                         best = {"delta": row["delta_vs_no_adapt"], "mode": name,
                                 "focus": focus, "steps": steps, "lr": lr}
                 m = eval_inline(manager, cfg, test_loader, device_transform,
-                                steps, lr, focus)
-                row = {"mode": "tent_online_inline", "focus": focus, "steps": steps,
+                                steps, lr, focus, method=meth,
+                                method_kw=method_kw)
+                row = {"mode": f"{meth}_online_inline", "focus": focus, "steps": steps,
                        "lr": lr, "avg_dc": round(float(m["avg_dc"]), 4),
                        "entropy": round(m["entropy"], 5) if m.get("entropy") is not None else None}
                 row["delta_vs_no_adapt"] = round(row["avg_dc"] - no_adapt, 4)
@@ -279,7 +299,7 @@ def main() -> None:
                 print(json.dumps(row))
                 if row["delta_vs_no_adapt"] > best["delta"]:
                     best = {"delta": row["delta_vs_no_adapt"],
-                            "mode": "tent_online_inline", "focus": focus,
+                            "mode": f"{meth}_online_inline", "focus": focus,
                             "steps": steps, "lr": lr}
 
     verdict = {"no_adapt_avg_dc": no_adapt, "best": best}

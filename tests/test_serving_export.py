@@ -155,10 +155,11 @@ class TestAdaptArtifact:
 
 
 class TestMethodFamilies:
-    @pytest.mark.parametrize("method", ["cotta", "sar"])
+    @pytest.mark.parametrize("method", ["cotta", "sar", "memo"])
     def test_extended_state_methods_export(self, method, tmp_path):
         """CoTTA (EMA teacher) and SAR (entropy EMA) carry extra state; the
-        flat protocol must thread it and reproduce the live step."""
+        flat protocol must thread it and reproduce the live step. MEMO
+        carries no extra state but its view ensemble must export."""
         from multimodal_tta_tpu.registry import get_tta_method
 
         state, x = tiny_state()

@@ -1284,3 +1284,183 @@ class TestEata:
         pred, info = ctl.step(x, 2, domain="A")
         assert pred.shape == (2, 16, 16, 16, 1)
         assert info["entropy_final"] is not None
+
+
+class TestMemo:
+    """MEMO marginal-entropy adaptation (tta/memo.py, method "memo"):
+    entropy of the view-averaged marginal prediction, gradients through
+    every view, serve=clean|marginal."""
+
+    def _adapter(self, state, *, sigmoid=True, **kw):
+        cfg_tta = tent_cfg(method="memo", **kw)  # tent_cfg defaults steps=2, lr=1e-2
+        cfg = full_cfg(tta=cfg_tta, sigmoid=sigmoid)
+        from multimodal_tta_tpu.tta import MemoAdapter
+
+        return MemoAdapter(cfg.tta, config=cfg, mesh=None)
+
+    @staticmethod
+    def _dist(a, b):
+        return float(
+            sum(
+                float(jnp.sum(jnp.abs(x - y)))
+                for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+            )
+        )
+
+    def test_registered(self):
+        from multimodal_tta_tpu.tta import MemoAdapter
+
+        assert get_tta_method("memo") is MemoAdapter
+
+    def test_marginal_entropy_decreases_and_only_norm_changes(self):
+        state = make_state()
+        adapter = self._adapter(state, steps=4, lr=1e-2, n_views=2)
+        adapt_fn = adapter.make_adapt_fn(state)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 16, 2), jnp.float32)
+        out = adapt_fn(state, x, 2)
+        ents = np.asarray(adapter._last_ents)
+        assert ents.shape == (4,)
+        assert ents[-1] < ents[0], ents
+        mask = norm_param_mask(state.params)
+        moved = unmoved = 0.0
+        for m, a, b in zip(
+            jax.tree_util.tree_leaves(mask),
+            jax.tree_util.tree_leaves(out.params),
+            jax.tree_util.tree_leaves(state.params),
+        ):
+            d = float(jnp.sum(jnp.abs(a - b)))
+            if m:
+                moved += d
+            else:
+                unmoved += d
+        assert moved > 1e-4
+        assert unmoved == 0.0
+
+    def test_views1_objective_matches_tent(self):
+        """With one (clean) view the marginal IS the prediction, so the
+        first-step objective must equal Tent's entropy on the same batch
+        (up to the prob-space clipping epsilon)."""
+        state = make_state()
+        x = jnp.asarray(np.random.RandomState(1).randn(2, 16, 16, 16, 2), jnp.float32)
+        memo = self._adapter(state, steps=1, n_views=1, entropy_focus="uncertain")
+        memo.make_adapt_fn(state)(state, x, 2)
+        tent = TentAdapter(
+            full_cfg(tta=tent_cfg(steps=1, entropy_focus="uncertain")).tta,
+            config=full_cfg(),
+            mesh=None,
+        )
+        tent.make_adapt_fn(state)(state, x, 2)
+        np.testing.assert_allclose(
+            float(memo._last_ents[0]), float(tent._last_ents[0]), atol=1e-4
+        )
+
+    def test_degenerate_views_make_serve_modes_agree(self):
+        """With augmentation switched off every view equals the clean view,
+        so the marginal equals the clean prediction and serve=marginal must
+        produce the same inline predictions as serve=clean."""
+        state = make_state()
+        x = jnp.asarray(np.random.RandomState(2).randn(2, 16, 16, 16, 2), jnp.float32)
+        preds = {}
+        for serve in ("clean", "marginal"):
+            adapter = self._adapter(
+                state,
+                steps=2,
+                n_views=3,
+                aug_scale=0.0,
+                aug_shift=0.0,
+                aug_noise=0.0,
+                aug_flip=False,
+                serve=serve,
+            )
+            ap = adapter.make_adapt_predict_fn(state, threshold=0.5, predict_mode="inline")
+            _, pred = ap(state, x, 2)
+            preds[serve] = np.asarray(pred)
+        np.testing.assert_array_equal(preds["clean"], preds["marginal"])
+
+    def test_flip_ensemble_changes_served_marginal(self):
+        """With real augmented views the marginal is a flip/jitter ensemble:
+        it must differ from the clean-view prediction somewhere on a batch
+        near the decision boundary (lr=0 pins the params, isolating serve)."""
+        state = make_state()
+        x = jnp.asarray(0.05 * np.random.RandomState(3).randn(2, 16, 16, 16, 2), jnp.float32)
+        probs = {}
+        for serve in ("clean", "marginal"):
+            adapter = self._adapter(
+                state, steps=1, lr=0.0, momentum=0.0, n_views=4, serve=serve
+            )
+            ap = adapter.make_adapt_predict_fn(state, threshold=0.5, predict_mode="inline")
+            _, pred = ap(state, x, 2)
+            probs[serve] = np.asarray(pred)
+        assert (probs["clean"] != probs["marginal"]).any()
+
+    def test_post_mode_with_marginal_ensemble(self):
+        state = make_state()
+        adapter = self._adapter(state, steps=1, n_views=2, serve="marginal")
+        ap = adapter.make_adapt_predict_fn(state, threshold=0.5, predict_mode="post")
+        x = jnp.asarray(np.random.RandomState(4).randn(2, 16, 16, 16, 2), jnp.float32)
+        _, pred = ap(state, x, 2)
+        assert pred.shape == (2, 16, 16, 16, 1)
+        assert pred.dtype == jnp.uint8
+
+    def test_softmax_mode(self):
+        state = make_state(n_cls=3)
+        adapter = self._adapter(state, sigmoid=False, steps=2, n_views=2)
+        ap = adapter.make_adapt_predict_fn(state, threshold=0.5, predict_mode="inline")
+        x = jnp.asarray(np.random.RandomState(5).randn(2, 16, 16, 16, 2), jnp.float32)
+        out, pred = ap(state, x, 2)
+        assert pred.shape == (2, 16, 16, 16, 1)
+        assert int(jnp.max(pred)) <= 2
+        assert adapter.last_entropy is not None
+
+    def test_restore_composes(self):
+        state = make_state()
+        x = jnp.asarray(np.random.RandomState(6).randn(2, 16, 16, 16, 2), jnp.float32)
+        free = self._adapter(state, steps=3, lr=0.5, n_views=2)
+        free_out = free.make_adapt_fn(state)(state, x, 2)
+        pinned = self._adapter(
+            state, steps=3, lr=0.5, n_views=2, restore={"enabled": True, "prob": 1.0}
+        )
+        pinned_out = pinned.make_adapt_fn(state)(state, x, 2)
+        assert self._dist(state.params, free_out.params) > 0.0
+        assert self._dist(state.params, pinned_out.params) == 0.0
+
+    def test_remat_views_matches_unremat(self):
+        """jax.checkpoint is a memory/recompute trade — numerics identical."""
+        state = make_state()
+        x = jnp.asarray(np.random.RandomState(7).randn(2, 16, 16, 16, 2), jnp.float32)
+        outs = []
+        for remat in (True, False):
+            adapter = self._adapter(state, steps=2, n_views=2, remat_views=remat)
+            outs.append(adapter.make_adapt_fn(state)(state, x, 2))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(outs[0].params),
+            jax.tree_util.tree_leaves(outs[1].params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_incompatible_knobs_raise(self):
+        state = make_state()
+        with pytest.raises(ValueError, match="window"):
+            self._adapter(state, window={"enabled": True})
+        with pytest.raises(ValueError, match="early_stop"):
+            self._adapter(state, early_stop={"enabled": True})
+        with pytest.raises(ValueError, match="reliability"):
+            self._adapter(state, reliability={"enabled": True})
+        with pytest.raises(ValueError, match="fisher"):
+            self._adapter(state, fisher={"enabled": True})
+        with pytest.raises(ValueError, match="serve"):
+            self._adapter(state, serve="oracle")
+
+    def test_stream_controller_accepts_memo(self):
+        from multimodal_tta_tpu.tta import StreamTTAController
+
+        state = make_state()
+        adapter = self._adapter(state, steps=1, n_views=2, episodic=False)
+        ctl = StreamTTAController(
+            adapter, state, threshold=0.5, policy="continual", guard=True,
+            entropy_floor_ratio=0.2,
+        )
+        x = np.random.RandomState(8).randn(2, 16, 16, 16, 2).astype(np.float32)
+        pred, info = ctl.step(x, 2, domain="A")
+        assert pred.shape == (2, 16, 16, 16, 1)
+        assert info["entropy_final"] is not None
