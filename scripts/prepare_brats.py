@@ -106,6 +106,12 @@ def process_case(case_dir: Path, cfg: Dict[str, Any], out_img: Path, out_lab: Pa
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
+    ap.add_argument("--workers", type=int, default=1,
+                    help="Thread-pool width for the per-case pipeline "
+                         "(geometry core is XLA:CPU with the GIL released; "
+                         "output bit-identical to --workers 1). Split "
+                         "assignment stays serial — its RNG-consumption "
+                         "order pins the splits.")
     args = ap.parse_args()
     cfg = load_yaml(args.config)
 
@@ -120,26 +126,27 @@ def main():
     rng = np.random.RandomState(int(cfg.get("split_seed", 42)))
 
     case_dirs = sorted(p for p in raw_root.iterdir() if p.is_dir())
-    rows: List[Dict[str, Any]] = []
-    n_done = n_err = 0
-    for case_dir in tqdm(case_dirs, desc="Preprocessing BraTS"):
-        split = assign_split(case_dir.name, rng, ratios)
+    # splits FIRST, serially — assign_split consumes the seeded RNG once per
+    # case in sorted order, and that consumption order is the split contract
+    splits = [assign_split(d.name, rng, ratios) for d in case_dirs]
+
+    def run_case(item) -> List[Dict[str, Any]]:
+        case_dir, split = item
         try:
             mod_rows, lab_p = process_case(case_dir, cfg, out_img, out_lab)
-            for m, img_p in mod_rows:
-                rows.append(
-                    {
-                        "subject_id": case_dir.name,
-                        "modality": m,
-                        "img_path": img_p,
-                        "label_path": lab_p,
-                        "split": split,
-                        "status": "ok",
-                    }
-                )
-            n_done += 1
+            return [
+                {
+                    "subject_id": case_dir.name,
+                    "modality": m,
+                    "img_path": img_p,
+                    "label_path": lab_p,
+                    "split": split,
+                    "status": "ok",
+                }
+                for m, img_p in mod_rows
+            ]
         except Exception as e:
-            rows.append(
+            return [
                 {
                     "subject_id": case_dir.name,
                     "modality": "",
@@ -148,8 +155,22 @@ def main():
                     "split": split,
                     "status": f"error:{type(e).__name__}",
                 }
-            )
-            n_err += 1
+            ]
+
+    work = list(zip(case_dirs, splits))
+    workers = max(int(args.workers), 1)
+    if workers > 1 and len(work) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            per_case = list(tqdm(ex.map(run_case, work), total=len(work),
+                                 desc=f"Preprocessing BraTS (x{workers})"))
+    else:
+        per_case = [run_case(w) for w in tqdm(work, desc="Preprocessing BraTS")]
+
+    rows: List[Dict[str, Any]] = [r for case_rows in per_case for r in case_rows]
+    n_done = sum(1 for cr in per_case if cr and cr[0]["status"] == "ok")
+    n_err = len(per_case) - n_done
 
     out_csv = out_root / "processed.csv"
     pd.DataFrame(rows).to_csv(out_csv, index=False)

@@ -323,7 +323,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True, help="Path to YAML config.")
     ap.add_argument("--mode", choices=["full", "split_only"], default="full")
-    ap.add_argument("--workers", type=int, default=1, help="Reserved; currently single-process.")
+    ap.add_argument("--workers", type=int, default=1,
+                    help="Thread-pool width for the per-case pipeline. Cases "
+                         "are independent; the geometry core is XLA:CPU (GIL "
+                         "released during execution) and the gzip codec "
+                         "releases the GIL too, so throughput scales with "
+                         "cores until disk IO binds (decode thread-scaling "
+                         "measured in BASELINE.md). Output is bit-identical "
+                         "to --workers 1 (tested), manifest row order "
+                         "preserved. The reference pipeline is single-process "
+                         "only (reference: scripts/prepare_hecktor21.py:519).")
     args = ap.parse_args()
 
     cfg = load_yaml(args.config)
@@ -389,9 +398,15 @@ def main():
         print(f"[MANIFEST] {out_manifest_csv}")
         return
 
-    rows: List[Dict[str, Any]] = []
-    n_done = n_skipped = 0
-    for _, r in tqdm(df.iterrows(), total=len(df), desc="Preprocessing HECKTOR2021"):
+    # Stage the per-case work first (skip/missing rows resolve immediately,
+    # heavy cases become tasks), then execute the tasks — serially or on a
+    # thread pool. Manifest row order follows the merged CSV either way, and
+    # the per-case error-capture contract is unchanged: a crash becomes a
+    # status row, never a lost run.
+    pending: List[Any] = []  # (slot index into rows, pid, r, paths)
+    rows: List[Optional[Dict[str, Any]]] = []
+    n_skipped = 0
+    for _, r in df.iterrows():
         pid = str(r["PatientID"])
         base = {
             "patient_id": pid,
@@ -413,17 +428,36 @@ def main():
             n_skipped += 1
             continue
 
+        rows.append(None)  # slot filled by the task below
+        pending.append(
+            (len(rows) - 1, pid, r, base, raw_paths,
+             (ct_path, pt_path, gt_path, img_out_dir, lab_out_dir))
+        )
+
+    def run_task(task) -> None:
+        slot, pid, r, base, raw_paths, paths = task
         try:
-            row = process_case(
-                pid, r, cfg_geo, (ct_path, pt_path, gt_path, img_out_dir, lab_out_dir)
-            )
-            rows.append({**base, **raw_paths, **row})
-            n_done += 1
+            row = process_case(pid, r, cfg_geo, paths)
+            rows[slot] = {**base, **raw_paths, **row}
         except Exception as e:
-            rows.append(
-                {**base, "status": f"error:{type(e).__name__}", "error_msg": str(e), **raw_paths}
-            )
-            n_skipped += 1
+            rows[slot] = {
+                **base, "status": f"error:{type(e).__name__}",
+                "error_msg": str(e), **raw_paths,
+            }
+
+    workers = max(int(args.workers), 1)
+    if workers > 1 and len(pending) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(tqdm(ex.map(run_task, pending), total=len(pending),
+                      desc=f"Preprocessing HECKTOR2021 (x{workers})"))
+    else:
+        for task in tqdm(pending, desc="Preprocessing HECKTOR2021"):
+            run_task(task)
+    rows = [x for x in rows if x is not None]
+    n_done = sum(1 for x in rows if x.get("status") == "ok")
+    n_skipped += sum(1 for x in rows if x.get("status", "").startswith("error:"))
 
     df_out = pd.DataFrame(rows)
     df_out.to_csv(out_manifest_csv, index=False)

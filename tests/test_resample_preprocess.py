@@ -395,3 +395,122 @@ class TestAssignSplits:
         df = pd.DataFrame({"patient_id": ["CHGJ000", "CHGJ001"], "center_code": ["CHGJ", "CHGJ"]})
         out = assign_splits(df, True, ["CHGJ"], [], 5, 0, "ignore")
         assert (out["split"] == "val").all()
+
+
+class TestPreprocessWorkers:
+    """--workers N: thread-pooled per-case pipeline, bit-identical output."""
+
+    def _run(self, tmp_path, tag, workers):
+        raw = str(tmp_path / f"raw_{tag}")
+        out = str(tmp_path / f"proc_{tag}")
+        TestPreprocessEndToEnd._make_raw(self, raw)
+        # one missing-file row: the error-capture contract must survive the pool
+        os.remove(os.path.join(raw, "CHUM002_pt.nii.gz"))
+        cfg = {
+            "bbox_csv": os.path.join(raw, "bbox.csv"),
+            "info_csv": os.path.join(raw, "info.csv"),
+            "nii_root": raw,
+            "out_root": out,
+            "out_manifest_csv": os.path.join(out, "manifest.csv"),
+            "target_spacing": [1.0, 1.0, 3.0],
+            "output_size": [48, 48, 12],
+            "enable_split": True,
+            "seed": 2026,
+            "val_per_center": 0,
+            "source_centers": ["CHUM"],
+            "target_centers": ["CHUS"],
+        }
+        import yaml
+
+        cfg_path = str(tmp_path / f"cfg_{tag}.yaml")
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(cfg, f)
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache"
+        env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
+        env["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "-1"
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO_ROOT, "scripts", "prepare_hecktor21.py"),
+             "--config", cfg_path, "--mode", "full", "--workers", str(workers)],
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return pd.read_csv(os.path.join(out, "manifest.csv"))
+
+    def test_pool_output_bit_identical_to_serial(self, tmp_path):
+        m1 = self._run(tmp_path, "w1", workers=1)
+        m2 = self._run(tmp_path, "w2", workers=2)
+        # same rows in the same order, same statuses (incl. the captured
+        # missing-file row), same provenance columns
+        assert list(m1["patient_id"]) == list(m2["patient_id"])
+        assert list(m1["status"]) == list(m2["status"])
+        assert "missing_file" in set(m1["status"])
+        drop = [c for c in m1.columns if c.endswith(("_raw", "_proc"))]
+        pd.testing.assert_frame_equal(
+            m1.drop(columns=drop), m2.drop(columns=drop)
+        )
+        # processed volumes are bit-identical
+        ok1 = m1[m1["status"] == "ok"].reset_index(drop=True)
+        ok2 = m2[m2["status"] == "ok"].reset_index(drop=True)
+        for col in ("ct_proc", "pt_proc", "gtvt_proc"):
+            for a, b in zip(ok1[col], ok2[col]):
+                va = np.asarray(nifti.load(a).dataobj)
+                vb = np.asarray(nifti.load(b).dataobj)
+                np.testing.assert_array_equal(va, vb)
+
+
+class TestPrepareBratsWorkers:
+    def test_pool_matches_serial(self, tmp_path):
+        """--workers 2: same manifest (splits pinned by serial RNG order),
+        bit-identical volumes."""
+        import yaml
+
+        raw = tmp_path / "raw"
+        rng = np.random.RandomState(0)
+        affine = np.diag([1.2, 1.2, 1.2, 1.0])
+        for case in ["BraTS-GLI-0001", "BraTS-GLI-0002", "BraTS-GLI-0003"]:
+            d = raw / case
+            d.mkdir(parents=True)
+            for m in ["t1n", "t1c", "t2w", "t2f"]:
+                nifti.save(rng.rand(20, 24, 20).astype(np.float32), affine,
+                           str(d / f"{case}-{m}.nii.gz"))
+            seg = rng.randint(0, 4, size=(20, 24, 20)).astype(np.uint8)
+            nifti.save(seg, affine, str(d / f"{case}-seg.nii.gz"))
+
+        manifests = {}
+        for tag, workers in (("w1", 1), ("w2", 2)):
+            cfg = {
+                "raw_root": str(raw),
+                "out_root": str(tmp_path / f"proc_{tag}"),
+                "target_spacing": [1.0, 1.0, 1.0],
+                "output_size": [24, 28, 24],
+                "split_seed": 1,
+                "split_ratios": [0.5, 0.25, 0.25],
+            }
+            cfg_path = str(tmp_path / f"cfg_{tag}.yaml")
+            with open(cfg_path, "w") as f:
+                yaml.safe_dump(cfg, f)
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache"
+            env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
+            env["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "-1"
+            proc = subprocess.run(
+                [sys.executable,
+                 os.path.join(REPO_ROOT, "scripts", "prepare_brats.py"),
+                 "--config", cfg_path, "--workers", str(workers)],
+                capture_output=True, text=True, env=env, timeout=900,
+            )
+            assert proc.returncode == 0, proc.stderr[-2000:]
+            manifests[tag] = pd.read_csv(
+                os.path.join(cfg["out_root"], "processed.csv")
+            )
+        m1, m2 = manifests["w1"], manifests["w2"]
+        assert list(m1["subject_id"]) == list(m2["subject_id"])
+        assert list(m1["split"]) == list(m2["split"])  # RNG order pinned
+        assert list(m1["status"]) == list(m2["status"])
+        for a, b in zip(m1["img_path"], m2["img_path"]):
+            np.testing.assert_array_equal(
+                np.asarray(nifti.load(a).dataobj), np.asarray(nifti.load(b).dataobj)
+            )
