@@ -1464,3 +1464,31 @@ class TestMemo:
         pred, info = ctl.step(x, 2, domain="A")
         assert pred.shape == (2, 16, 16, 16, 1)
         assert info["entropy_final"] is not None
+
+    def test_memo_on_8dev_mesh_matches_single_device(self):
+        """SPMD path: batch sharded over the data axis, the marginal's view
+        forwards and the backward through them run under the mesh shardings;
+        numerics match the single-device adaptation."""
+        from multimodal_tta_tpu.parallel.mesh import make_mesh, shard_batch
+
+        mesh = make_mesh()
+        assert mesh.devices.size == 8
+        state = make_state()
+        x_np = np.random.RandomState(9).randn(8, 16, 16, 16, 2).astype(np.float32)
+
+        cfg_tta = tent_cfg(method="memo", n_views=2)
+        cfg = full_cfg(tta=cfg_tta)
+        from multimodal_tta_tpu.tta import MemoAdapter
+
+        sharded = shard_batch({"image": x_np}, mesh)
+        s_mesh = MemoAdapter(cfg.tta, config=cfg, mesh=mesh).make_adapt_fn(state)(
+            state, sharded["image"], 8
+        )
+        s_one = MemoAdapter(cfg.tta, config=cfg, mesh=None).make_adapt_fn(state)(
+            state, jnp.asarray(x_np), 8
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s_mesh.params),
+            jax.tree_util.tree_leaves(s_one.params),
+        ):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
