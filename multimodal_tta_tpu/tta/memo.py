@@ -33,13 +33,29 @@ setting:
     volume-mean objective provably stalls on dense segmentation
     (ops/losses.py entropy_loss docstring).
 
-TPU shape: the K inner steps run under ONE jit as a ``lax.scan``; within a
-step the view forwards are chained through ``lax.optimization_barrier`` so
-XLA cannot overlap them (peak HBM holds one view's activations — the same
-measured fix as CoTTA's teacher views), and each augmented-view forward is
-``jax.checkpoint``-ed (``tta.remat_views``) so the backward recomputes it
-instead of keeping V activation sets alive. Reference parity: the
-reference repo has no TTA algorithm at all (SURVEY.md §0) — new capability.
+TPU shape — the gradient is LINEARIZED and accumulated view by view.
+Naive autodiff of H(p_bar) holds every view's activations for the
+backward: measured on the real chip at whole-volume batch 8 / 4 views,
+that step needs 20.7G of a 15.75G chip even with per-view
+``jax.checkpoint`` + ``optimization_barrier`` serialization (XLA hoists
+the rematerialized forwards; batch 4 was WORSE — 62G — the same small-C
+layout pathology the MoE section of BASELINE.md documents). Instead the
+step exploits the chain rule's structure:
+
+    dH(p_bar)/dtheta = sum_v < g_hat / V , d p_v / d theta >,
+    g_hat = stop_grad(dH/dp at p_bar)   (analytic, elementwise)
+
+so per inner step it runs (1) one serialized pure-forward pass over the
+views to form ``p_bar`` and the cotangent ``g_hat``, then (2) one
+fwd+bwd of the LINEAR surrogate ``sum(g_hat/V * p_v(theta))`` per view,
+accumulating gradients — each unit is a Tent-sized fwd+bwd, chained
+through ``lax.optimization_barrier`` so peak HBM holds ONE view's
+activations by construction, independent of V and of the scan length.
+The accumulated gradient is EXACT (to float rounding; the clip-gate on
+``g_hat`` reproduces autodiff's zero-gradient outside the log-safety
+clamp), tested against direct jax.grad of the marginal objective.
+Reference parity: the reference repo has no TTA algorithm at all
+(SURVEY.md §0) — new capability.
 """
 
 from __future__ import annotations
@@ -79,7 +95,6 @@ class MemoAdapter(TentAdapter):
         self.aug_shift = float(get_config(self.cfg, "aug_shift", 0.1))
         self.aug_noise = float(get_config(self.cfg, "aug_noise", 0.05))
         self.aug_flip = bool(get_config(self.cfg, "aug_flip", True))
-        self.remat_views = bool(get_config(self.cfg, "remat_views", True))
         # what the fused adapt+predict step serves: "clean" = the clean
         # view's prediction (the paper: adapted model on the un-augmented
         # input); "marginal" = the aug/flip-averaged marginal itself —
@@ -128,8 +143,8 @@ class MemoAdapter(TentAdapter):
             )
         self.logger.info(
             f"[memo] marginal-entropy adaptation (views={self.n_views}, "
-            f"serve={self.serve}, remat_views={self.remat_views}, "
-            f"focus={self.entropy_focus})"
+            f"serve={self.serve}, focus={self.entropy_focus}, "
+            f"linearized per-view gradient accumulation)"
         )
 
     # ------------------------------------------------------------------
@@ -149,7 +164,6 @@ class MemoAdapter(TentAdapter):
         aug_shift = self.aug_shift
         aug_noise = self.aug_noise
         aug_flip = self.aug_flip
-        remat_views = self.remat_views
         serve_marginal = self.serve == "marginal"
         restore_enabled = self.restore_enabled
         restore_prob = self.restore_prob
@@ -170,6 +184,8 @@ class MemoAdapter(TentAdapter):
             b = image.shape[0]
             mask = (jnp.arange(b) < n_valid).astype(jnp.float32)
             denom = jnp.maximum(jnp.sum(mask), 1.0)
+            spatial = tuple(range(1, image.ndim - 1))
+            combos = flip_combos(spatial)[1:] if aug_flip else ()
 
             def forward(trainable, bs, x):
                 """Clean-view forward; for BatchNorm models this is the
@@ -184,70 +200,121 @@ class MemoAdapter(TentAdapter):
                     return logits, updates["batch_stats"]
                 return state.apply_fn(variables, x, train=False), bs
 
-            def _view_fwd(trainable, bs, x):
+            def view_fwd(trainable, bs, x):
                 variables = {"params": combine(trainable, frozen)}
                 if bs:
                     variables["batch_stats"] = bs
                 return state.apply_fn(variables, x, train=False)
 
-            # gradients flow through every view; checkpointing each view's
-            # forward keeps ONE activation set live during the backward
-            # (recompute instead of store) — without it V view forwards pin
-            # V whole-volume activation sets
-            view_fwd = jax.checkpoint(_view_fwd) if remat_views else _view_fwd
-
             def probs(logits):
                 return jax.nn.sigmoid(logits) if sigmoid_mode else jax.nn.softmax(logits, axis=-1)
 
-            def marginal(trainable, bs, x, key):
-                """Marginal probs over views (view 0 clean, grads through
-                all); flips are inverted exactly in probability space."""
+            def make_view(x, key, i):
+                """Deterministic view i from its key — regenerated
+                identically in the cotangent and gradient passes."""
+                k_int, k_noise = jax.random.split(key)
+                xv = rand_intensity_scale_shift(
+                    k_int, x, scale=aug_scale, shift=aug_shift, prob=1.0
+                )
+                if aug_noise > 0.0:
+                    xv = xv + aug_noise * jax.random.normal(k_noise, xv.shape, xv.dtype)
+                combo = combos[i % len(combos)] if combos else ()
+                return xv, combo
+
+            def marginal(trainable, bs, x, view_keys):
+                """Marginal probs over views (all stop-grad; view 0 clean).
+                Forwards are chained through optimization_barrier — XLA
+                cannot overlap them, so peak memory holds ONE view's
+                activations (the measured CoTTA-views fix, cotta.py:224)."""
                 logits0, new_bs = forward(trainable, bs, x)
                 p = probs(logits0)
                 if n_views > 1:
-                    spatial = tuple(range(1, x.ndim - 1))
-                    combos = flip_combos(spatial)[1:] if aug_flip else ()
                     x_seq = x
-                    for i, k in enumerate(jax.random.split(key, n_views - 1)):
-                        # serialize the view forwards (see module docstring /
-                        # cotta.py:224 — overlapped views overflow HBM)
+                    for i, k in enumerate(view_keys):
                         p, x_seq = jax.lax.optimization_barrier((p, x_seq))
-                        k_int, k_noise = jax.random.split(k)
-                        xv = rand_intensity_scale_shift(
-                            k_int, x_seq, scale=aug_scale, shift=aug_shift, prob=1.0
-                        )
-                        if aug_noise > 0.0:
-                            xv = xv + aug_noise * jax.random.normal(
-                                k_noise, xv.shape, xv.dtype
+                        xv, combo = make_view(x_seq, k, i)
+                        if combo:
+                            pv = jnp.flip(
+                                probs(view_fwd(trainable, new_bs, jnp.flip(xv, axis=combo))),
+                                axis=combo,
                             )
-                        if combos:
-                            combo = combos[i % len(combos)]
-                            pv = probs(view_fwd(trainable, new_bs, jnp.flip(xv, axis=combo)))
-                            pv = jnp.flip(pv, axis=combo)
                         else:
                             pv = probs(view_fwd(trainable, new_bs, xv))
                         p = p + pv
                     p = p / float(n_views)
-                return p, new_bs, logits0
+                return jax.lax.stop_gradient(p), new_bs, logits0
 
-            def sample_entropy(p):
-                """Entropy of one sample's marginal probs, reduced with the
-                Tent focus semantics (per-sample, so padded rows mask out)."""
-                pc = jnp.clip(p, _EPS, 1.0 - _EPS)
+            def entropy_and_cotangent(p_marg):
+                """Per-sample objective value and the analytic elementwise
+                cotangent dLoss/dp at the marginal. The clip-gate zeroes the
+                cotangent where autodiff through jnp.clip would (so the
+                accumulated gradient matches direct differentiation
+                exactly)."""
+                pc = jnp.clip(p_marg, _EPS, 1.0 - _EPS)
+                inside = ((p_marg > _EPS) & (p_marg < 1.0 - _EPS)).astype(jnp.float32)
                 if sigmoid_mode:
                     h = -(pc * jnp.log(pc) + (1.0 - pc) * jnp.log1p(-pc))
+                    dhdp = (jnp.log1p(-pc) - jnp.log(pc)) * inside  # [B,...,C]
                 else:
-                    h = -jnp.sum(pc * jnp.log(pc), axis=-1)
+                    h = -jnp.sum(pc * jnp.log(pc), axis=-1)  # [B,...]
+                    dhdp = -(jnp.log(pc) + 1.0) * inside  # [B,...,C]
+                ax = tuple(range(1, h.ndim))
                 if entropy_focus == "uncertain":
-                    w = jax.lax.stop_gradient(h)
-                    return jnp.sum(h * w) / jnp.maximum(jnp.sum(w), 1e-12)
-                return jnp.mean(h)
-
-            def loss_of(trainable, bs, x, key):
-                p_marg, new_bs, logits0 = marginal(trainable, bs, x, key)
-                per_sample = jax.vmap(sample_entropy)(p_marg)
+                    w = h  # already stop-grad (p_marg is)
+                    wsum = jnp.maximum(jnp.sum(w, axis=ax), 1e-12)  # [B]
+                    per_sample = jnp.sum(h * w, axis=ax) / wsum
+                    scale = (mask / denom / wsum).reshape((b,) + (1,) * (h.ndim - 1))
+                    g_h = w * scale  # dLoss/dh, [B,...]
+                else:
+                    n_elems = 1
+                    for d in h.shape[1:]:
+                        n_elems *= int(d)
+                    per_sample = jnp.mean(h, axis=ax)
+                    g_h = jnp.broadcast_to(
+                        (mask / denom / float(n_elems)).reshape((b,) + (1,) * (h.ndim - 1)),
+                        h.shape,
+                    )
+                if sigmoid_mode:
+                    g = g_h * dhdp  # h has the channel dim already
+                else:
+                    g = g_h[..., None] * dhdp  # h is per voxel, dhdp per class
                 loss = jnp.sum(per_sample * mask) / denom
-                return loss, (new_bs, p_marg, logits0)
+                return loss, jax.lax.stop_gradient(g)
+
+            def view_grads(trainable, bs, x, view_keys, g_hat):
+                """Accumulate d<g_hat/V, p_v>/dtheta view by view — each view
+                is one Tent-sized fwd+bwd; the barrier chain on the
+                accumulated gradient serializes them, so V never multiplies
+                peak memory."""
+                gv = g_hat / float(n_views)
+
+                def clean_surrogate(t):
+                    logits, new_bs = forward(t, bs, x)
+                    return jnp.sum(probs(logits) * gv), new_bs
+
+                (_, new_bs), grads = jax.value_and_grad(clean_surrogate, has_aux=True)(
+                    trainable
+                )
+                if n_views > 1:
+                    x_seq = x
+                    for i, k in enumerate(view_keys):
+                        grads, x_seq = jax.lax.optimization_barrier((grads, x_seq))
+                        xv, combo = make_view(x_seq, k, i)
+
+                        def surrogate(t, xv=xv, combo=combo):
+                            if combo:
+                                pv = jnp.flip(
+                                    probs(view_fwd(t, new_bs, jnp.flip(xv, axis=combo))),
+                                    axis=combo,
+                                )
+                            else:
+                                pv = probs(view_fwd(t, new_bs, xv))
+                            return jnp.sum(pv * gv)
+
+                        grads = jax.tree_util.tree_map(
+                            jnp.add, grads, jax.grad(surrogate)(trainable)
+                        )
+                return grads, new_bs
 
             def predict_from(p_marg, logits0):
                 p = p_marg if serve_marginal else probs(logits0)
@@ -264,9 +331,12 @@ class MemoAdapter(TentAdapter):
                 x = image
                 if dropout:
                     x = modality_dropout(k_md, x, prob=md_prob)
-                (ent, (new_bs, p_marg, logits0)), grads = jax.value_and_grad(
-                    loss_of, has_aux=True
-                )(trainable, bs, x, k_views)
+                view_keys = (
+                    jax.random.split(k_views, n_views - 1) if n_views > 1 else ()
+                )
+                p_marg, _, logits0 = marginal(trainable, bs, x, view_keys)
+                ent, g_hat = entropy_and_cotangent(p_marg)
+                grads, new_bs = view_grads(trainable, bs, x, view_keys, g_hat)
                 updates, opt_state = tx.update(grads, opt_state, trainable)
                 trainable = optax.apply_updates(trainable, updates)
                 if restore_enabled:
@@ -315,8 +385,11 @@ class MemoAdapter(TentAdapter):
                     # pass with the adapted params (the inline mode gets this
                     # for free; post pays the extra V forwards)
                     k_post = jax.random.fold_in(rng, steps)
+                    view_keys = (
+                        jax.random.split(k_post, n_views - 1) if n_views > 1 else ()
+                    )
                     p_marg, batch_stats, logits0 = marginal(
-                        trainable, batch_stats, image, k_post
+                        trainable, batch_stats, image, view_keys
                     )
                     pred = predict_from(p_marg, logits0)
                 else:

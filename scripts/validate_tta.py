@@ -71,7 +71,7 @@ def ensure_fixture(root: str) -> str:
 
 
 def train_source(manifest: str, epochs: int, out_root: str, resume: str = None,
-                 model: str = "unet"):
+                 model: str = "unet", eval_batch: int = 8):
     """Train the source model (default: the flagship UNet) on the source
     centers; returns (manager, cfg). With ``resume`` (a checkpoint path sans
     extension), training is skipped and the checkpoint is loaded instead —
@@ -97,7 +97,7 @@ def train_source(manifest: str, epochs: int, out_root: str, resume: str = None,
         "dataset.cache_in_memory=true",
         f"training.epochs={epochs}",
         "training.batch_size=8",
-        "training.eval_batch_size=8",
+        f"training.eval_batch_size={eval_batch}",
         "training.num_workers=8",
         "training.device_cache=true",
         "training.optimizer=adam",
@@ -193,6 +193,11 @@ def main() -> None:
                     help="extra tta.<k>=<v> knobs for --method, repeatable "
                          "(e.g. --method-kw n_views=4); values parse as YAML "
                          "scalars")
+    ap.add_argument("--eval-batch", type=int, default=8,
+                    help="evaluation/adaptation batch size. Multi-view "
+                         "methods need headroom: memo n_views=4 steps=8 at "
+                         "whole-volume batch 8 exceeds one v5e chip's HBM by "
+                         "a measured 5.0G — use 4 there")
     args = ap.parse_args()
 
     import yaml
@@ -204,7 +209,8 @@ def main() -> None:
 
     manifest = ensure_fixture(args.fixture)
     manager, cfg = train_source(manifest, args.epochs, os.path.join(args.fixture, "runs"),
-                                resume=args.resume, model=args.model)
+                                resume=args.resume, model=args.model,
+                                eval_batch=args.eval_batch)
     if not args.resume:
         # persist the source model so later sweeps (--resume) skip training
         from multimodal_tta_tpu.core.checkpoint import save_checkpoint

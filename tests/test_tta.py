@@ -1424,19 +1424,68 @@ class TestMemo:
         assert self._dist(state.params, free_out.params) > 0.0
         assert self._dist(state.params, pinned_out.params) == 0.0
 
-    def test_remat_views_matches_unremat(self):
-        """jax.checkpoint is a memory/recompute trade — numerics identical."""
-        state = make_state()
+    def test_linearized_grads_match_direct_autodiff(self):
+        """The per-view accumulated gradient must equal direct jax.grad of
+        the marginal-entropy objective (the linearization is exact:
+        dH(p_bar)/dtheta = sum_v <stop_grad(dH/dp)/V, dp_v/dtheta>). The
+        naive direct form needs 20.7G at whole-volume batch 8 (measured,
+        BASELINE.md) — here it is affordable on a tiny model and serves as
+        the oracle."""
+        from multimodal_tta_tpu.ops.augment import rand_intensity_scale_shift
+        from multimodal_tta_tpu.ops.flip_tta import flip_combos
+
+        state = make_state()  # INSTANCE norm: no batch_stats path
         x = jnp.asarray(np.random.RandomState(7).randn(2, 16, 16, 16, 2), jnp.float32)
-        outs = []
-        for remat in (True, False):
-            adapter = self._adapter(state, steps=2, n_views=2, remat_views=remat)
-            outs.append(adapter.make_adapt_fn(state)(state, x, 2))
-        for a, b in zip(
-            jax.tree_util.tree_leaves(outs[0].params),
-            jax.tree_util.tree_leaves(outs[1].params),
+        adapter = self._adapter(
+            state, steps=1, lr=1.0, momentum=0.0, n_views=3,
+            entropy_focus="uncertain",
+        )
+        rng0 = adapter._rng  # captured BEFORE adapt_fn consumes it
+        adapt_fn = adapter.make_adapt_fn(state)
+        out = adapt_fn(state, x, 2)
+
+        # replicate the adapter's key schedule (steps=1, no restore/dropout)
+        key = jax.random.split(rng0)[1]
+        k_step = jax.random.split(key, 1)[0]
+        _, k_views = jax.random.split(k_step)
+        view_keys = jax.random.split(k_views, 2)
+
+        mask = norm_param_mask(state.params)
+        trainable0, frozen = adapter._partition(state.params, mask)
+        combos = flip_combos((1, 2, 3))[1:]
+
+        def direct_loss(trainable):
+            params = adapter._combine(trainable, frozen)
+
+            def fwd(xx):
+                return state.apply_fn({"params": params}, xx, train=False)
+
+            p = jax.nn.sigmoid(fwd(x))
+            for i, k in enumerate(view_keys):
+                k_int, k_noise = jax.random.split(k)
+                xv = rand_intensity_scale_shift(k_int, x, scale=0.1, shift=0.1, prob=1.0)
+                xv = xv + 0.05 * jax.random.normal(k_noise, xv.shape, xv.dtype)
+                combo = combos[i % len(combos)]
+                p = p + jnp.flip(jax.nn.sigmoid(fwd(jnp.flip(xv, axis=combo))), axis=combo)
+            p = p / 3.0
+            pc = jnp.clip(p, 1e-6, 1.0 - 1e-6)
+            h = -(pc * jnp.log(pc) + (1.0 - pc) * jnp.log1p(-pc))
+            w = jax.lax.stop_gradient(h)
+            ax = tuple(range(1, h.ndim))
+            per = jnp.sum(h * w, axis=ax) / jnp.maximum(jnp.sum(w, axis=ax), 1e-12)
+            return jnp.mean(per)
+
+        g_direct = jax.grad(direct_loss)(trainable0)
+        # sgd(momentum=0) first step: delta = -lr * grad, lr = 1.0
+        adapted_t = adapter.trainable_subtree(out.params)
+        for g, a, t0 in zip(
+            jax.tree_util.tree_leaves(g_direct),
+            jax.tree_util.tree_leaves(adapted_t),
+            jax.tree_util.tree_leaves(trainable0),
         ):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+            np.testing.assert_allclose(
+                np.asarray(a - t0), -np.asarray(g), rtol=1e-4, atol=1e-6
+            )
 
     def test_incompatible_knobs_raise(self):
         state = make_state()
