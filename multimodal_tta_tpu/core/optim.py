@@ -193,6 +193,14 @@ class EpochScheduler:
         self.milestones = [int(m) for m in get_config(args, "milestones", get_config(training_cfg, "milestones", [100, 150]))]
         self.gamma = float(get_config(args, "gamma", get_config(training_cfg, "gamma", 0.1)))
         self.step_size = int(get_config(args, "step_size", get_config(training_cfg, "step_size", 30)))
+        # "poly": the nnU-Net standard for these workloads —
+        # lr * (1 - epoch/epochs)^power, power 0.9
+        self.power = float(get_config(args, "power", get_config(training_cfg, "power", 0.9)))
+        # linear warmup over the first N epochs: lr * (e+1)/N, composing
+        # with ANY schedule name (including "none") — the schedule's own
+        # index keeps running during warmup, warmup just caps the ramp
+        self.warmup_epochs = int(get_config(args, "warmup_epochs",
+                                            get_config(training_cfg, "warmup_epochs", 0)))
 
         rop = get_config(args, "reduce_on_plateau", get_config(training_cfg, "reduce_on_plateau", ConfigNode()))
         self.rop_factor = float(get_config(rop, "factor", 0.1))
@@ -204,12 +212,17 @@ class EpochScheduler:
 
     @property
     def enabled(self) -> bool:
-        return self.name not in ("none", "")
+        return self.name not in ("none", "") or self.warmup_epochs > 0
 
     def lr_for_epoch(self, epoch: int, val_loss: Optional[float] = None) -> float:
         """LR to use for epoch ``epoch`` (0-based), stepped per epoch."""
+        if self.warmup_epochs > 0 and epoch < self.warmup_epochs:
+            return self.base_lr * (epoch + 1) / self.warmup_epochs
         if self.name in ("none", ""):
             return self.base_lr
+        if self.name == "poly":
+            t = min(epoch, self.epochs) / max(1, self.epochs)
+            return self.base_lr * (1.0 - t) ** self.power
         if self.name == "multistep":
             k = sum(1 for m in self.milestones if epoch >= m)
             return self.base_lr * (self.gamma ** k)

@@ -113,6 +113,27 @@ class TestOptim:
         assert s.lr_for_epoch(0) == pytest.approx(1.0)
         assert s.lr_for_epoch(100) == pytest.approx(0.0, abs=1e-6)
 
+        base["scheduler"] = {"name": "poly", "args": {"power": 0.9}}
+        s = EpochScheduler(base, 1.0)
+        assert s.lr_for_epoch(0) == pytest.approx(1.0)
+        assert s.lr_for_epoch(50) == pytest.approx(0.5 ** 0.9)
+        assert s.lr_for_epoch(100) == pytest.approx(0.0, abs=1e-9)
+
+        # linear warmup composes with any schedule (here: poly)
+        base["scheduler"] = {"name": "poly", "args": {"power": 1.0, "warmup_epochs": 5}}
+        s = EpochScheduler(base, 1.0)
+        assert s.enabled
+        assert s.lr_for_epoch(0) == pytest.approx(0.2)
+        assert s.lr_for_epoch(4) == pytest.approx(1.0)
+        assert s.lr_for_epoch(5) == pytest.approx(0.95)  # schedule index keeps running
+
+        # warmup alone (name "none") still schedules the ramp
+        base["scheduler"] = {"name": "none", "args": {"warmup_epochs": 4}}
+        s = EpochScheduler(base, 1.0)
+        assert s.enabled
+        assert s.lr_for_epoch(1) == pytest.approx(0.5)
+        assert s.lr_for_epoch(10) == pytest.approx(1.0)
+
         base["scheduler"] = {"name": "reduce_on_plateau", "args": {"reduce_on_plateau": {"factor": 0.1, "patience": 1}}}
         s = EpochScheduler(base, 1.0)
         assert s.lr_for_epoch(0, 1.0) == 1.0
