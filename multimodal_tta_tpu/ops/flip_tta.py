@@ -49,10 +49,20 @@ def flip_averaged_probs(
     are returned as-is so callers can report losses on the un-augmented
     view.
     """
+    import jax
+
     combos = flip_combos(axes)
     clean_logits = forward(image)
     total = to_prob(clean_logits)
     for combo in combos[1:]:
+        # serialize the mirror forwards: without the barrier XLA is free to
+        # overlap/fuse several whole-volume forwards and the peak-HBM temp
+        # grows with the view count (measured: 4-view flip eval at batch 8
+        # RESOURCE_EXHAUSTED on one v5e chip). Threading the input through a
+        # barrier with the running sum pins one view in flight — wall time
+        # is unchanged, a single chip runs them back-to-back anyway (same
+        # fix as the CoTTA view loop, tta/cotta.py).
+        total, image = jax.lax.optimization_barrier((total, image))
         x = jnp.flip(image, axis=combo)
         p = to_prob(forward(x))
         total = total + jnp.flip(p, axis=combo)

@@ -198,6 +198,12 @@ def main() -> None:
                          "methods need headroom: memo n_views=4 steps=8 at "
                          "whole-volume batch 8 exceeds one v5e chip's HBM by "
                          "a measured 5.0G — use 4 there")
+    ap.add_argument("--flip-axes", type=int, nargs="+", default=None,
+                    help="enable flip-averaged TTA at evaluation "
+                         "(evaluation.flip_tta, NDHWC spatial axes 1..3) "
+                         "for EVERY arm of this run — measures what the "
+                         "2^k mirror ensemble buys, alone (no_adapt row) "
+                         "and composed with adaptation")
     args = ap.parse_args()
 
     import yaml
@@ -211,6 +217,12 @@ def main() -> None:
     manager, cfg = train_source(manifest, args.epochs, os.path.join(args.fixture, "runs"),
                                 resume=args.resume, model=args.model,
                                 eval_batch=args.eval_batch)
+    if args.flip_axes:
+        from multimodal_tta_tpu.conf import ConfigNode
+
+        cfg.evaluation.flip_tta = ConfigNode(
+            {"enable": True, "axes": [int(a) for a in args.flip_axes]})
+        print(f"[validate_tta] flip-TTA on, axes={args.flip_axes}", file=sys.stderr)
     if not args.resume:
         # persist the source model so later sweeps (--resume) skip training
         from multimodal_tta_tpu.core.checkpoint import save_checkpoint
