@@ -281,6 +281,46 @@ def entropy_loss(
     return jnp.mean(h)
 
 
+def pseudo_label_loss(
+    logits: jnp.ndarray, *, sigmoid: bool = True, conf_threshold: float = 0.9
+) -> jnp.ndarray:
+    """Hard pseudo-label self-training objective for test-time adaptation.
+
+    The classic PL baseline (Lee 2013 applied at test time; the "PL"
+    comparison method in Wang et al., Tent, ICLR 2021): cross-entropy of the
+    model's outputs against its OWN hard predictions, restricted to voxels
+    whose prediction confidence clears ``conf_threshold``. Pseudo-labels and
+    the confidence gate are stop-gradient — the gradient flows only through
+    the live logits, sharpening confident calls without moving the decision
+    of uncertain ones directly.
+
+    sigmoid mode: per-voxel per-channel Bernoulli CE with hard labels
+    ``p >= 0.5``; confidence of a call is ``max(p, 1-p)``. softmax mode:
+    categorical CE against the argmax channel; confidence is the max
+    probability. Self-normalized by the confident-voxel count, so the scale
+    is comparable across shift severities (an entirely-unconfident batch
+    yields loss 0 and zero gradient — the method abstains, where plain
+    entropy minimization would still push).
+    """
+    if sigmoid:
+        p = jax.lax.stop_gradient(jax.nn.sigmoid(logits))
+        hard = (p >= 0.5).astype(logits.dtype)
+        conf = jnp.maximum(p, 1.0 - p)
+        w = jax.lax.stop_gradient((conf >= conf_threshold).astype(logits.dtype))
+        ce = -(
+            hard * jax.nn.log_sigmoid(logits)
+            + (1.0 - hard) * jax.nn.log_sigmoid(-logits)
+        )
+        return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    p = jax.lax.stop_gradient(jnp.exp(logp))
+    conf = jnp.max(p, axis=-1)
+    hard = jnp.argmax(p, axis=-1)
+    w = jax.lax.stop_gradient((conf >= conf_threshold).astype(logits.dtype))
+    ce = -jnp.take_along_axis(logp, hard[..., None], axis=-1)[..., 0]
+    return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 def generalized_wasserstein_dice_loss(
     logits: jnp.ndarray,
     label: jnp.ndarray,

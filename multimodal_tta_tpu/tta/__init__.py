@@ -3,6 +3,7 @@ from .eata import EataAdapter  # noqa: F401 (registers "eata")
 from .engine import TTAEngine, classifier_logits_apply  # noqa: F401
 from .memo import MemoAdapter  # noqa: F401 (registers "memo")
 from .norm_adapt import NormAdapter  # noqa: F401 (registers "norm")
+from .pl import PseudoLabelAdapter  # noqa: F401 (registers "pl")
 from .sar import SarAdapter  # noqa: F401 (registers "sar")
 from .stream import StreamTTAController  # noqa: F401
 from .tent import TentAdapter, norm_param_mask  # noqa: F401 (registers "tent")

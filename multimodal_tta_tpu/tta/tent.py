@@ -35,7 +35,7 @@ import optax
 from ..conf.node import ConfigNode
 from ..ops.augment import modality_dropout, rand_intensity_scale_shift
 from ..ops.intensity import make_intensity_normalizer
-from ..ops.losses import entropy_loss
+from ..ops.losses import entropy_loss, pseudo_label_loss
 from ..parallel.mesh import batch_sharding, replicated
 from ..registry import register_tta_method
 from ..utils.config import get_config
@@ -263,11 +263,18 @@ class TentAdapter:
         if self.entropy_focus not in ("all", "uncertain"):
             raise ValueError(f"[tent] unknown entropy_focus: {self.entropy_focus}")
 
-        # loss: "entropy" (Tent) or "entropy+consistency" (adds an invariance
-        # term between predictions on the batch and an intensity-jittered view)
+        # loss: "entropy" (Tent) or "pl" (hard pseudo-label self-training,
+        # the PL baseline from the Tent paper — tta/pl.py registers it as its
+        # own method name); either may add "+consistency" (an invariance term
+        # between predictions on the batch and an intensity-jittered view)
         self.loss_mode = str(get_config(self.cfg, "loss", "entropy")).lower()
-        if self.loss_mode not in ("entropy", "entropy+consistency"):
+        valid_losses = ("entropy", "entropy+consistency", "pl", "pl+consistency")
+        if self.loss_mode not in valid_losses:
             raise ValueError(f"[tent] unknown loss mode: {self.loss_mode}")
+        # confident-voxel gate of the pseudo-label objective (read only when
+        # loss starts with "pl")
+        plc = get_config(self.cfg, "pl", ConfigNode())
+        self.pl_conf_threshold = float(get_config(plc, "conf_threshold", 0.9))
         cons = get_config(self.cfg, "consistency", ConfigNode())
         self.cons_weight = float(get_config(cons, "weight", 1.0))
         self.cons_scale = float(get_config(cons, "scale", 0.1))
@@ -354,10 +361,17 @@ class TentAdapter:
         # objective produced its numbers — "uncertain" (the shipped default,
         # configs/tta/tent.yaml) is self-normalized entropy, NOT
         # paper-faithful plain Tent, and results must not be conflated.
+        if self.loss_mode.split("+")[0] == "pl":
+            obj_desc = (
+                f"hard pseudo-label CE (conf_threshold={self.pl_conf_threshold})"
+            )
+        elif self.entropy_focus == "uncertain":
+            obj_desc = "self-normalized entropy (focus=uncertain)"
+        else:
+            obj_desc = "plain Tent entropy (focus=all)"
         self.logger.info(
             f"[tent] adapting {n} param tensors (of "
-            f"{len(jax.tree_util.tree_leaves(params))}), objective="
-            f"{'self-normalized entropy (focus=uncertain)' if self.entropy_focus == 'uncertain' else 'plain Tent entropy (focus=all)'}"
+            f"{len(jax.tree_util.tree_leaves(params))}), objective={obj_desc}"
             + (f" under path filter {self.update_regex!r}" if self.update_regex else "")
         )
         modules = sorted({
@@ -444,7 +458,9 @@ class TentAdapter:
         sigmoid_mode = self.sigmoid_mode
         md_enabled = self.md_enabled
         md_prob = self.md_prob
-        use_consistency = self.loss_mode == "entropy+consistency"
+        use_consistency = self.loss_mode.endswith("+consistency")
+        objective_kind = self.loss_mode.split("+")[0]  # "entropy" | "pl"
+        pl_conf = self.pl_conf_threshold
         cons_weight = self.cons_weight
         cons_scale = self.cons_scale
         cons_shift = self.cons_shift
@@ -501,13 +517,20 @@ class TentAdapter:
                     return logits, updates["batch_stats"]
                 return state.apply_fn(variables, x, train=False), bs
 
+            def batch_objective(lg):
+                """The adaptation objective over a batch of logits."""
+                if objective_kind == "pl":
+                    return pseudo_label_loss(
+                        lg, sigmoid=sigmoid_mode, conf_threshold=pl_conf
+                    )
+                return entropy_loss(lg, sigmoid=sigmoid_mode, focus=entropy_focus)
+
+            def per_sample_objective(logits):
+                return jax.vmap(lambda lg: batch_objective(lg[None]))(logits)
+
             def loss_of(trainable, bs, x, key):
                 logits, new_bs = forward(trainable, bs, x)
-                per_sample = jax.vmap(
-                    lambda lg: entropy_loss(lg[None], sigmoid=sigmoid_mode, focus=entropy_focus)
-                )(
-                    logits
-                )
+                per_sample = per_sample_objective(logits)
                 sample_w = mask
                 if rel_enabled:
                     sample_w = mask * reliability_weights(
@@ -555,17 +578,13 @@ class TentAdapter:
                 wins = crop_windows(k_crop, x)  # all windows come from valid samples
                 logits, new_bs = forward(trainable, bs, wins)
                 if rel_enabled:
-                    per_win = jax.vmap(
-                        lambda lg: entropy_loss(
-                            lg[None], sigmoid=sigmoid_mode, focus=entropy_focus
-                        )
-                    )(logits)
+                    per_win = per_sample_objective(logits)
                     win_w = reliability_weights(
                         logits, sigmoid=sigmoid_mode, margin_ratio=rel_margin_ratio
                     )
                     loss = jnp.sum(per_win * win_w) / logits.shape[0]
                 else:
-                    loss = entropy_loss(logits, sigmoid=sigmoid_mode, focus=entropy_focus)
+                    loss = batch_objective(logits)
                 if use_consistency:
                     wins2 = rand_intensity_scale_shift(
                         k_cons, wins, scale=cons_scale, shift=cons_shift, prob=1.0
