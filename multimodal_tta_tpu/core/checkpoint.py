@@ -128,6 +128,44 @@ def load_checkpoint(path: str, template_state) -> Tuple[Any, Dict[str, Any]]:
     return state, _read_sidecar(path)
 
 
+def load_params_only(
+    path: str, params_template, batch_stats_template, *, use_ema: bool = False
+) -> Tuple[Any, Any]:
+    """Restore ONLY (params, batch_stats) from a msgpack checkpoint — no
+    opt_state template needed, so the loading run's optimizer config is free
+    to differ from the saving run's (the frozen-teacher case, core/distill.py:
+    the teacher trained with adam, the student run needs just its weights).
+
+    ``use_ema=True`` returns the checkpoint's EMA shadow as the params
+    (hard-fails when absent — same contract as resolve_serving_params).
+    Orbax-format checkpoints are not supported here: their structural
+    restore needs the full template; re-save the teacher as msgpack
+    (core/checkpoint.save_checkpoint) for distillation."""
+    if os.path.isdir(path + ".orbax") and not os.path.exists(path + ".msgpack"):
+        raise ValueError(
+            f"[checkpoint] {path} is orbax-format; params-only loading needs "
+            "the msgpack format — load it with the original training config "
+            "and re-save via save_checkpoint()"
+        )
+    with open(path + ".msgpack", "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    key = "params"
+    if use_ema:
+        if "ema_params" not in raw:
+            raise ValueError(
+                f"[checkpoint] use_ema requested but {path} carries no "
+                "ema_params — the teacher was trained without training.ema"
+            )
+        key = "ema_params"
+    params = serialization.from_state_dict(
+        jax.device_get(params_template), raw[key]
+    )
+    batch_stats = serialization.from_state_dict(
+        jax.device_get(batch_stats_template), raw.get("batch_stats", {})
+    )
+    return params, batch_stats
+
+
 def resolve_serving_params(state, use_ema: bool):
     """Swap the EMA shadow in as the serving/adaptation params
     (``training.use_ema_params`` in adapt.py / predict.py). Hard-fails when

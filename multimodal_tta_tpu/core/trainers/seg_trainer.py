@@ -113,6 +113,16 @@ class SegTrainer(TrainerBase):
         if self.ema_enabled and not (0.0 < self.ema_decay < 1.0):
             raise ValueError(f"[SegTrainer] training.ema.decay must be in (0,1), got {self.ema_decay}")
 
+        # Knowledge distillation (core/distill.py): a frozen teacher's soft
+        # predictions join the task loss inside the same jitted step. Parsed
+        # eagerly so a bad config fails at bring-up, teacher built lazily
+        # (checkpoint load + init need the mesh to be live).
+        from ..distill import DistillConfig
+
+        self.distill = DistillConfig(config)
+        self._teacher_apply = None
+        self._teacher_vars = None
+
         self._rng = jax.random.PRNGKey(int(get_config(config, "task.seed", 0)))
         self._train_step = None  # built lazily (needs mesh + state structure)
         self._pending_loss = None
@@ -151,7 +161,37 @@ class SegTrainer(TrainerBase):
             w = np.array([0.5**k for k in range(ds_levels + 1)], np.float64)
             ds_weights = tuple(float(x) for x in (w / w.sum()))
 
-        def step(state, image, label, rng, n_valid):
+        distill_on = self.distill.enabled
+        if distill_on:
+            from ..distill import build_teacher, kd_loss
+
+            image_size = get_config(self.config, "training.data.transforms.image_size", None)
+            if not image_size:
+                raise ValueError(
+                    "[distill] training.data.transforms.image_size is required "
+                    "to initialize the teacher"
+                )
+            d, h, w_ = (int(x) for x in image_size)
+            c = int(
+                get_config(
+                    self.distill.model,
+                    "in_channels",
+                    get_config(self.config, "model.in_channels", 1),
+                )
+            )
+            self._teacher_apply, self._teacher_vars = build_teacher(
+                self.config, self.mesh, (d, h, w_, c)
+            )
+            teacher_apply = self._teacher_apply
+            kd_temp = self.distill.temperature
+            kd_weight = self.distill.weight
+            self.logger.info(
+                f"[distill] teacher {get_config(self.distill.model, 'name')} "
+                f"loaded from {self.distill.checkpoint} "
+                f"(T={kd_temp}, weight={kd_weight})"
+            )
+
+        def step(state, image, label, rng, n_valid, teacher_vars=None):
             image = image.astype(jnp.float32)  # upcast compact transfer dtypes
             if do_mod_drop:
                 # train-time missing-modality robustness. Applied BEFORE
@@ -218,6 +258,16 @@ class SegTrainer(TrainerBase):
                             lbl[:, ::f, ::f, ::f, :] if sigmoid else lbl[:, ::f, ::f, ::f]
                         )
                         per_sample = per_sample + ds_weights[k + 1] * per_sample_of(aux, lb_k)
+                if distill_on:
+                    # frozen-teacher forward on the SAME (normalized,
+                    # augmented) input the student sees; stop_gradient means
+                    # XLA never builds the teacher's backward
+                    t_logits = jax.lax.stop_gradient(
+                        teacher_apply(teacher_vars, image, train=False)
+                    )
+                    per_sample = per_sample + kd_weight * kd_loss(
+                        logits, t_logits, sigmoid=sigmoid, temperature=kd_temp
+                    )
                 loss = jnp.sum(per_sample * mask) / jnp.maximum(jnp.sum(mask), 1.0)
                 if moe_on:
                     from ...models.moe import collect_moe_aux
@@ -272,9 +322,10 @@ class SegTrainer(TrainerBase):
                 # 1/dp of the moments and XLA all-gathers the param update.
                 st = train_state_sharding(self.mesh, self.state, zero1=zero1)
                 self.state = jax.device_put(self.state, st)
+            in_sh = (st, bsh, bsh, rep, rep) + ((rep,) if distill_on else ())
             return jax.jit(
                 step,
-                in_shardings=(st, bsh, bsh, rep, rep),
+                in_shardings=in_sh,
                 out_shardings=(st, rep),
                 donate_argnums=(0,),
             )
@@ -351,9 +402,10 @@ class SegTrainer(TrainerBase):
                 sharded = shard_batch(padded, self.mesh)
                 image, label = sharded["image"], sharded["label"]
 
-        self.state, metrics = self._train_step(
-            self.state, image, label, step_key, np.int32(n_valid)
-        )
+        step_args = (self.state, image, label, step_key, np.int32(n_valid))
+        if self.distill.enabled:
+            step_args = step_args + (self._teacher_vars,)
+        self.state, metrics = self._train_step(*step_args)
         # Defer the device->host loss sync by one step: returning last step's
         # loss keeps the dispatch queue full (step k+1 is enqueued while step
         # k executes). flush_step_metrics() drains the final step at epoch end.
