@@ -21,6 +21,7 @@ from .mogvae import VAEDeltaMoG  # noqa: F401 (registers vae_delta_mog)
 from .unet3d_ws import UNet3DWS  # noqa: F401 (registers unet_ws, experimental)
 from .unetr import UNETR  # noqa: F401 (registers unetr)
 from .swin_unetr import SwinUNETR  # noqa: F401 (registers swin_unetr)
+from .segresnet import SegResNet  # noqa: F401 (registers segresnet)
 from .unet_multimodal_latefusion import MultimodalUNetLateFusion  # noqa: F401 (registers unet_multimodal_late/_mid)
 
 __all__ = [

@@ -102,7 +102,15 @@ class Norm(nn.Module):
                 name="norm",
             )(x)
         if kind == "GROUP":
-            return nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+            # 8 groups (the MONAI/SegResNet default) when it divides the
+            # channel count, else the largest divisor of 8 that does — narrow
+            # stages (tiny test models, stems) would otherwise be
+            # unconstructible. Param shapes (per-channel scale/bias) are
+            # unaffected by the group count.
+            import math
+
+            groups = math.gcd(8, x.shape[-1])
+            return nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         if kind == "LAYER":
             return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         if kind in ("NONE", ""):

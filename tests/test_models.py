@@ -360,3 +360,79 @@ class TestUNETR:
         with mesh:
             y = jax.jit(lambda v, x: sharded.apply(v, x, train=False))(v, x)
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=3e-5)
+
+
+class TestSegResNet:
+    """SegResNet (models/segresnet.py): Myronenko 2018 asymmetric residual
+    encoder-decoder with additive skips. Beyond-reference family (the
+    reference's seg models are the MONAI UNet subclass + midfusion,
+    reference src/models/unet.py:14-69); output contract matches UNet3D so
+    the whole seg/TTA engine applies unchanged."""
+
+    TINY = dict(init_filters=4, blocks_down=(1, 2, 2), blocks_up=(1, 1))
+
+    def _model(self, **kw):
+        from multimodal_tta_tpu.models.segresnet import SegResNet
+
+        args = dict(in_channels=2, num_classes=1, **self.TINY)
+        args.update(kw)
+        return SegResNet(**args)
+
+    def test_registered(self):
+        from multimodal_tta_tpu.models.segresnet import SegResNet
+
+        assert get_model("segresnet") is SegResNet
+
+    def test_from_config(self):
+        cfg = ConfigNode(
+            {"in_channels": 4, "num_classes": 3, "init_filters": 8,
+             "blocks_down": [1, 2, 2, 4], "blocks_up": [1, 1, 1]}
+        )
+        m = get_model("segresnet").from_config(cfg, dtype=jnp.bfloat16, remat=2)
+        assert m.in_channels == 4 and m.init_filters == 8
+        assert m.blocks_down == (1, 2, 2, 4) and m.remat == 2
+
+    def test_from_config_rejects_mismatched_stages(self):
+        cfg = ConfigNode({"blocks_down": [1, 2, 2], "blocks_up": [1, 1, 1]})
+        with pytest.raises(ValueError, match="blocks_up"):
+            get_model("segresnet").from_config(cfg)
+
+    def test_forward_shape_and_dtype(self, rng_key):
+        m = self._model(num_classes=3)
+        x = jnp.zeros((2, 16, 16, 16, 2))
+        v = m.init(rng_key, x, train=True)
+        y = m.apply(v, x, train=False)
+        assert y.shape == (2, 16, 16, 16, 3)
+        assert y.dtype == jnp.float32
+        assert "batch_stats" not in v  # GroupNorm is stateless
+
+    def test_anisotropic_and_divisibility(self, rng_key):
+        m = self._model()
+        x = jnp.zeros((1, 8, 16, 12, 2))
+        v = m.init(rng_key, x)
+        assert m.apply(v, x).shape == (1, 8, 16, 12, 1)
+        with pytest.raises(ValueError, match="divisible"):
+            m.init(rng_key, jnp.zeros((1, 9, 16, 12, 2)))
+
+    def test_jit_grad_and_remat(self, rng_key):
+        m = self._model(in_channels=1, remat=1)
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 16, 16, 1), jnp.float32)
+        v = m.init(rng_key, x, train=True)
+
+        @jax.jit
+        def loss_fn(params, x):
+            return jnp.mean(m.apply({"params": params}, x, train=True) ** 2)
+
+        g = jax.grad(loss_fn)(v["params"], x)
+        assert all(np.all(np.isfinite(l)) for l in jax.tree_util.tree_leaves(g))
+
+    def test_tent_adapts_groupnorm_affines(self, rng_key):
+        """The structural norm-param rule must pick up SegResNet's GroupNorm
+        scale/bias (the whole TTA engine then applies unchanged)."""
+        from multimodal_tta_tpu.tta import norm_param_mask
+
+        m = self._model()
+        v = m.init(rng_key, jnp.zeros((1, 8, 8, 8, 2)), train=True)
+        mask = norm_param_mask(v["params"])
+        n_adapted = sum(bool(x) for x in jax.tree_util.tree_leaves(mask))
+        assert n_adapted >= 2 * (2 + 2 + 2) + 2  # 2 affines per norm, 2 norms per block + final
