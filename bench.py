@@ -125,6 +125,14 @@ def build_adapter_state(predict_mode: str = "post", episodic: bool = True):
         if name == "unetr" and os.environ.get("BENCH_MOE"):
             kw["moe_experts"] = int(os.environ["BENCH_MOE"])
         model = model_cls(**kw)
+    elif name == "segresnet":
+        model = model_cls(
+            in_channels=2,
+            num_classes=1,
+            init_filters=int(os.environ.get("BENCH_SEGRESNET_FILTERS", "16")),
+            dtype=jnp.bfloat16,
+            remat=_parse_remat(os.environ.get("BENCH_REMAT", "false")),
+        )
     else:
         model = model_cls(
             in_channels=2,
