@@ -35,31 +35,54 @@ def kd_loss(
     *,
     sigmoid: bool = True,
     temperature: float = 2.0,
+    focus: str = "all",
 ) -> jnp.ndarray:
     """Per-sample [B] Hinton KD loss: T^2 * KL(teacher_T || student_T).
 
     sigmoid mode: per-voxel per-channel Bernoulli KL of the
     temperature-softened probabilities; softmax mode: categorical KL over
-    the channel axis. Mean over voxels (and channels), scaled by T^2 so the
-    gradient magnitude is temperature-invariant (the classic correction).
-    Teacher side is stop-gradient by construction (callers pass frozen
-    teacher logits; KL is computed against them as constants).
+    the channel axis. Scaled by T^2 so the gradient magnitude is
+    temperature-invariant (the classic correction). Teacher side is
+    stop-gradient by construction (callers pass frozen teacher logits;
+    KL is computed against them as constants).
+
+    focus:
+      "all"       — plain mean over voxels (and channels).
+      "uncertain" — weight each voxel's KL by the TEACHER's own (softened,
+        stop-grad) prediction entropy, self-normalized per sample. Dense 3D
+        segmentation dilutes the plain mean with millions of confident
+        background voxels where teacher and student trivially agree — the
+        same vanishing-signal pathology measured for plain Tent
+        (ops/losses.py entropy_loss); the teacher's dark knowledge lives at
+        its uncertain boundary voxels, so that is where the distillation
+        pressure goes.
     """
     t = float(temperature)
     ls = student_logits / t
     lt = jax.lax.stop_gradient(teacher_logits) / t
-    reduce_axes = tuple(range(1, student_logits.ndim))
     if sigmoid:
         pt = jax.nn.sigmoid(lt)
         # KL(pt || ps) per voxel-channel, in logit form for stability
         kl = pt * (jax.nn.log_sigmoid(lt) - jax.nn.log_sigmoid(ls)) + (1.0 - pt) * (
             jax.nn.log_sigmoid(-lt) - jax.nn.log_sigmoid(-ls)
         )
-        return (t * t) * jnp.mean(kl, axis=reduce_axes)
-    logpt = jax.nn.log_softmax(lt, axis=-1)
-    logps = jax.nn.log_softmax(ls, axis=-1)
-    kl = jnp.sum(jnp.exp(logpt) * (logpt - logps), axis=-1)
-    return (t * t) * jnp.mean(kl, axis=tuple(range(1, kl.ndim)))
+        h_t = -(
+            pt * jax.nn.log_sigmoid(lt) + (1.0 - pt) * jax.nn.log_sigmoid(-lt)
+        )
+    else:
+        logpt = jax.nn.log_softmax(lt, axis=-1)
+        logps = jax.nn.log_softmax(ls, axis=-1)
+        kl = jnp.sum(jnp.exp(logpt) * (logpt - logps), axis=-1)
+        h_t = -jnp.sum(jnp.exp(logpt) * logpt, axis=-1)
+    reduce_axes = tuple(range(1, kl.ndim))
+    if focus == "uncertain":
+        w = jax.lax.stop_gradient(h_t)
+        num = jnp.sum(kl * w, axis=reduce_axes)
+        den = jnp.maximum(jnp.sum(w, axis=reduce_axes), 1e-12)
+        return (t * t) * num / den
+    if focus != "all":
+        raise ValueError(f"[distill] unknown focus: {focus}")
+    return (t * t) * jnp.mean(kl, axis=reduce_axes)
 
 
 class DistillConfig:
@@ -83,6 +106,11 @@ class DistillConfig:
         # serve the teacher's EMA shadow instead of its raw params (the
         # checkpoint must carry one; same contract as training.use_ema_params)
         self.use_ema = bool(get_config(node, "use_ema_params", False))
+        # "all" = plain voxel-mean KL; "uncertain" = teacher-entropy-weighted
+        # (see kd_loss — the dense-segmentation dilution fix)
+        self.focus = str(get_config(node, "focus", "all")).lower()
+        if self.focus not in ("all", "uncertain"):
+            raise ValueError(f"[distill] unknown focus: {self.focus}")
         # the teacher's model config: a full model node (name + arch keys).
         # Required — defaulting to the student's own arch would silently
         # self-distill when the user meant a different teacher.

@@ -185,10 +185,11 @@ class SegTrainer(TrainerBase):
             teacher_apply = self._teacher_apply
             kd_temp = self.distill.temperature
             kd_weight = self.distill.weight
+            kd_focus = self.distill.focus
             self.logger.info(
                 f"[distill] teacher {get_config(self.distill.model, 'name')} "
                 f"loaded from {self.distill.checkpoint} "
-                f"(T={kd_temp}, weight={kd_weight})"
+                f"(T={kd_temp}, weight={kd_weight}, focus={kd_focus})"
             )
 
         def step(state, image, label, rng, n_valid, teacher_vars=None):
@@ -266,7 +267,8 @@ class SegTrainer(TrainerBase):
                         teacher_apply(teacher_vars, image, train=False)
                     )
                     per_sample = per_sample + kd_weight * kd_loss(
-                        logits, t_logits, sigmoid=sigmoid, temperature=kd_temp
+                        logits, t_logits, sigmoid=sigmoid, temperature=kd_temp,
+                        focus=kd_focus,
                     )
                 loss = jnp.sum(per_sample * mask) / jnp.maximum(jnp.sum(mask), 1.0)
                 if moe_on:

@@ -94,6 +94,15 @@ def main() -> None:
     ap.add_argument("--teacher", default="unet")
     ap.add_argument("--temps", type=float, nargs="+", default=[2.0])
     ap.add_argument("--weights", type=float, nargs="+", default=[1.0])
+    ap.add_argument("--focus", nargs="+", default=["all"],
+                    help="kd focus modes to sweep (all / uncertain)")
+    ap.add_argument("--skip-plain", action="store_true",
+                    help="reuse a previously-measured plain-student Dice "
+                         "(pass via --plain-best) instead of retraining it")
+    ap.add_argument("--plain-best", type=float, default=None)
+    ap.add_argument("--teacher-best", type=float, default=None,
+                    help="previously-measured teacher Dice (for the verdict "
+                         "when --teacher-ckpt skips teacher training)")
     ap.add_argument("--fixture", default=os.path.join(REPO_ROOT, ".ws_validate_fixture"))
     ap.add_argument("--teacher-ckpt", default=None,
                     help="skip teacher training; use this checkpoint (extension-less)")
@@ -129,42 +138,49 @@ def main() -> None:
         ckpt = os.path.join(out_root, "distill_teacher_ckpt")
         save_checkpoint(ckpt, mgr_t.state)
         print(f"[validate_distill] teacher checkpoint: {ckpt}", file=sys.stderr)
-    teacher_best = rows[0]["best_val_avg_dc"] if rows else None
+    teacher_best = rows[0]["best_val_avg_dc"] if rows else args.teacher_best
 
     # 2. plain student (control) --------------------------------------------
-    mgr_s, _ = bring_up(
-        base_overrides(args.student, manifest, args.epochs, out_root,
-                       f"distill_plain_{args.student}"),
-        tag="distill_plain")
-    row = summarize(f"plain_{args.student}", mgr_s)
-    rows.append(row)
-    print(json.dumps(row))
-    plain_best = row["best_val_avg_dc"]
+    if args.skip_plain and args.plain_best is not None:
+        plain_best = float(args.plain_best)
+        print(json.dumps({"run": f"plain_{args.student}", "best_val_avg_dc": plain_best,
+                          "reused": True}))
+    else:
+        mgr_s, _ = bring_up(
+            base_overrides(args.student, manifest, args.epochs, out_root,
+                           f"distill_plain_{args.student}"),
+            tag="distill_plain")
+        row = summarize(f"plain_{args.student}", mgr_s)
+        rows.append(row)
+        print(json.dumps(row))
+        plain_best = row["best_val_avg_dc"]
 
     # 3. distilled student(s) -----------------------------------------------
     best_dist = None
     for temp in args.temps:
         for w in args.weights:
-            def mutate(cfg, _t=temp, _w=w):
-                cfg.training.distill = {
-                    "enabled": True,
-                    "checkpoint": os.path.abspath(ckpt),
-                    "temperature": _t,
-                    "weight": _w,
-                    "model": teacher_model_node,
-                }
+            for focus in args.focus:
+                def mutate(cfg, _t=temp, _w=w, _f=focus):
+                    cfg.training.distill = {
+                        "enabled": True,
+                        "checkpoint": os.path.abspath(ckpt),
+                        "temperature": _t,
+                        "weight": _w,
+                        "focus": _f,
+                        "model": teacher_model_node,
+                    }
 
-            mgr_d, _ = bring_up(
-                base_overrides(args.student, manifest, args.epochs, out_root,
-                               f"distill_kd_{args.student}_T{temp}_w{w}"),
-                mutate_cfg=mutate, tag="distill_kd")
-            row = summarize(f"distilled_{args.student}_T{temp}_w{w}", mgr_d)
-            row.update({"temperature": temp, "weight": w,
-                        "delta_vs_plain": round(row["best_val_avg_dc"] - plain_best, 4)})
-            rows.append(row)
-            print(json.dumps(row))
-            if best_dist is None or row["best_val_avg_dc"] > best_dist["best_val_avg_dc"]:
-                best_dist = row
+                mgr_d, _ = bring_up(
+                    base_overrides(args.student, manifest, args.epochs, out_root,
+                                   f"distill_kd_{args.student}_T{temp}_w{w}_{focus}"),
+                    mutate_cfg=mutate, tag="distill_kd")
+                row = summarize(f"distilled_{args.student}_T{temp}_w{w}_{focus}", mgr_d)
+                row.update({"temperature": temp, "weight": w, "focus": focus,
+                            "delta_vs_plain": round(row["best_val_avg_dc"] - plain_best, 4)})
+                rows.append(row)
+                print(json.dumps(row))
+                if best_dist is None or row["best_val_avg_dc"] > best_dist["best_val_avg_dc"]:
+                    best_dist = row
 
     verdict = {
         "teacher_best": teacher_best,

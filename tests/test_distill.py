@@ -208,3 +208,45 @@ class TestDistilledStep:
             jax.tree_util.tree_leaves(t_mesh.state.params),
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+class TestKdFocus:
+    def test_uncertain_zero_at_equality(self):
+        lg = jnp.asarray(np.random.RandomState(2).randn(2, 4, 4, 4, 1), jnp.float32)
+        per = kd_loss(lg, lg, sigmoid=True, temperature=2.0, focus="uncertain")
+        np.testing.assert_allclose(np.asarray(per), 0.0, atol=1e-6)
+
+    def test_uncertain_upweights_boundary_voxels(self):
+        """Mismatch at a teacher-uncertain voxel must cost (much) more under
+        focus=uncertain than the same mismatch at a teacher-confident voxel —
+        the anti-dilution property."""
+        t = np.full((1, 4, 4, 4, 1), 8.0, np.float32)  # confident everywhere
+        t[0, 0, 0, 0, 0] = 0.1                          # one uncertain voxel
+        s_at_uncertain = t.copy(); s_at_uncertain[0, 0, 0, 0, 0] += 2.0
+        s_at_confident = t.copy(); s_at_confident[0, 1, 1, 1, 0] += 2.0
+        t, s_u, s_c = map(jnp.asarray, (t, s_at_uncertain, s_at_confident))
+        l_u = float(kd_loss(s_u, t, sigmoid=True, focus="uncertain")[0])
+        l_c = float(kd_loss(s_c, t, sigmoid=True, focus="uncertain")[0])
+        assert l_u > 10 * l_c, (l_u, l_c)
+
+    def test_bad_focus_rejected(self):
+        lg = jnp.zeros((1, 2, 2, 2, 1))
+        with pytest.raises(ValueError, match="focus"):
+            kd_loss(lg, lg, focus="bogus")
+        cfg = ConfigNode({"training": {"distill": {
+            "enabled": True, "checkpoint": "/tmp/x", "focus": "bogus",
+            "model": TEACHER_ARCH}}})
+        with pytest.raises(ValueError, match="focus"):
+            DistillConfig(cfg)
+
+    def test_focused_step_runs(self, tmp_path):
+        ckpt, _ = teacher_checkpoint(tmp_path)
+        trainer, batch = make_trainer({
+            "enabled": True, "checkpoint": ckpt, "temperature": 2.0,
+            "weight": 1.0, "focus": "uncertain", "model": TEACHER_ARCH,
+        })
+        losses = []
+        for _ in range(5):
+            trainer.run_step(batch)
+            losses.append(trainer.flush_step_metrics()["loss"])
+        assert losses[-1] < losses[0]
