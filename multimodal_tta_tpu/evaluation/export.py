@@ -47,11 +47,15 @@ class PredictionExporter:
         out_dir: str,
         *,
         save_prob: bool = False,
+        save_uncertainty: bool = False,
         logger=None,
     ):
         self.strategy = strategy
         self.out_dir = str(out_dir)
         self.save_prob = bool(save_prob)
+        # mirror-ensemble disagreement maps (per-voxel std of the un-flipped
+        # view probabilities — ops/flip_tta.py); requires evaluation.flip_tta
+        self.save_uncertainty = bool(save_uncertainty)
         self.logger = logger or get_logger()
         self._step = None
         self._mesh_sig = None
@@ -60,12 +64,18 @@ class PredictionExporter:
     def _build_step(self, mesh):
         threshold = self.strategy.threshold
         save_prob = self.save_prob
+        save_unc = self.save_uncertainty
 
         def step(state, image):
-            _, prob = self.strategy._probs_fn(state)(image)
+            if save_unc:
+                _, prob, var = self.strategy._probs_fn(state, with_variance=True)(image)
+            else:
+                _, prob = self.strategy._probs_fn(state)(image)
             out = {"pred": (prob >= threshold).astype(jnp.uint8)}
             if save_prob:
                 out["prob"] = prob.astype(jnp.float32)
+            if save_unc:
+                out["uncert"] = jnp.sqrt(var).astype(jnp.float32)
             return out
 
         if mesh is not None:
@@ -99,6 +109,7 @@ class PredictionExporter:
         prob_dhwr: Optional[np.ndarray],
         affine: np.ndarray,
         status: str,
+        uncert_dhwr: Optional[np.ndarray] = None,
     ) -> Dict[str, Any]:
         from ..data import nifti
 
@@ -120,6 +131,16 @@ class PredictionExporter:
             arr = prob_xyzr[..., 0] if prob_xyzr.shape[-1] == 1 else prob_xyzr
             nifti.save(arr, affine, path, dtype=np.float32)
             row["prob_file"] = os.path.basename(path)
+        if uncert_dhwr is not None:
+            unc_xyzr = np.transpose(uncert_dhwr, (2, 1, 0, 3)).astype(np.float32)
+            path = os.path.join(self.out_dir, f"{case_id}_uncert.nii.gz")
+            arr = unc_xyzr[..., 0] if unc_xyzr.shape[-1] == 1 else unc_xyzr
+            nifti.save(arr, affine, path, dtype=np.float32)
+            row["uncert_file"] = os.path.basename(path)
+            # a scalar triage signal per case: mean in-mask disagreement
+            # (uncertain PREDICTIONS rank for human review first)
+            m = pred_dhwr.astype(bool)
+            row["mean_uncert_in_pred"] = float(uncert_dhwr[m].mean()) if m.any() else 0.0
         return row
 
     # ------------------------------------------------------------------
@@ -170,6 +191,7 @@ class PredictionExporter:
             out = self._step(eval_state, image)
             pred = np.asarray(out["pred"])[:B]
             prob = np.asarray(out["prob"])[:B] if self.save_prob else None
+            uncert = np.asarray(out["uncert"])[:B] if self.save_uncertainty else None
 
             for i in range(B):
                 affine, status = self._case_geometry(
@@ -187,6 +209,7 @@ class PredictionExporter:
                     prob[i] if prob is not None else None,
                     affine,
                     status,
+                    uncert_dhwr=uncert[i] if uncert is not None else None,
                 )
                 rows.append(row)
 

@@ -208,7 +208,7 @@ class SegmentationEvaluationStrategy:
         return current > best_metrics.get(name, float("-inf"))
 
     # ------------------------------------------------------------------
-    def _probs_fn(self, state):
+    def _probs_fn(self, state, with_variance: bool = False):
         """Trace-time closure: raw device image -> (logits, prob).
 
         Single source of truth for the inference forward — upcast from the
@@ -216,7 +216,17 @@ class SegmentationEvaluationStrategy:
         flip-TTA options — shared by the eval step and the prediction
         exporter so exported masks are exactly the masks the evaluator
         scores.
+
+        ``with_variance=True`` (requires flip-TTA enabled) returns
+        ``(logits, prob, var)`` with the mirror-ensemble disagreement map
+        (ops/flip_tta.py) — the exporter's uncertainty volume.
         """
+        if with_variance and not self.flip_enable:
+            raise ValueError(
+                "[SegEval] uncertainty maps need an ensemble: enable "
+                "evaluation.flip_tta (the variance is computed over the "
+                "mirror views)"
+            )
         sw_enable = self.sw_enable
         sw_roi, sw_overlap, sw_mode = self.sw_roi, self.sw_overlap, self.sw_mode
         flip_enable, flip_axes = self.flip_enable, self.flip_axes
@@ -252,12 +262,12 @@ class SegmentationEvaluationStrategy:
             if flip_enable:
                 from ..ops.flip_tta import flip_averaged_probs
 
-                logits, prob = flip_averaged_probs(
-                    forward, image, flip_axes, jax.nn.sigmoid
+                return flip_averaged_probs(
+                    forward, image, flip_axes, jax.nn.sigmoid,
+                    with_variance=with_variance,
                 )
-            else:
-                logits = forward(image)
-                prob = jax.nn.sigmoid(logits)
+            logits = forward(image)
+            prob = jax.nn.sigmoid(logits)
             return logits, prob
 
         return probs

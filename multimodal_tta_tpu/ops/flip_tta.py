@@ -39,8 +39,10 @@ def flip_averaged_probs(
     image: jnp.ndarray,
     axes: Sequence[int],
     to_prob: Callable[[jnp.ndarray], jnp.ndarray],
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns ``(clean_logits, averaged_probs)``.
+    with_variance: bool = False,
+):
+    """Returns ``(clean_logits, averaged_probs)`` — or, with
+    ``with_variance=True``, ``(clean_logits, averaged_probs, var_probs)``.
 
     ``forward`` maps an image batch to logits; ``to_prob`` maps logits to
     probabilities (sigmoid / softmax). Each of the 2^len(axes) flip
@@ -48,12 +50,23 @@ def flip_averaged_probs(
     probability space, and averaged. The clean (no-flip) forward's logits
     are returned as-is so callers can report losses on the un-augmented
     view.
+
+    ``var_probs`` is the per-voxel POPULATION variance of the un-flipped
+    view probabilities — the mirror-ensemble disagreement map. Zero where
+    the model is flip-equivariant; high at structures the network segments
+    differently under mirroring, which correlates with boundary/error
+    regions — a zero-extra-forward epistemic-uncertainty surrogate for
+    deployments already paying for flip-TTA (the ensemble-disagreement
+    recipe of the deep-ensembles literature, computed over the mirror
+    ensemble instead of independently-trained members).
     """
     import jax
 
     combos = flip_combos(axes)
     clean_logits = forward(image)
-    total = to_prob(clean_logits)
+    p0 = to_prob(clean_logits)
+    total = p0
+    total_sq = p0 * p0 if with_variance else None
     for combo in combos[1:]:
         # serialize the mirror forwards: without the barrier XLA is free to
         # overlap/fuse several whole-volume forwards and the peak-HBM temp
@@ -62,8 +75,20 @@ def flip_averaged_probs(
         # barrier with the running sum pins one view in flight — wall time
         # is unchanged, a single chip runs them back-to-back anyway (same
         # fix as the CoTTA view loop, tta/cotta.py).
-        total, image = jax.lax.optimization_barrier((total, image))
+        if with_variance:
+            total, total_sq, image = jax.lax.optimization_barrier(
+                (total, total_sq, image)
+            )
+        else:
+            total, image = jax.lax.optimization_barrier((total, image))
         x = jnp.flip(image, axis=combo)
-        p = to_prob(forward(x))
-        total = total + jnp.flip(p, axis=combo)
-    return clean_logits, total / float(len(combos))
+        p = jnp.flip(to_prob(forward(x)), axis=combo)
+        total = total + p
+        if with_variance:
+            total_sq = total_sq + p * p
+    n = float(len(combos))
+    mean = total / n
+    if not with_variance:
+        return clean_logits, mean
+    var = jnp.maximum(total_sq / n - mean * mean, 0.0)
+    return clean_logits, mean, var

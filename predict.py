@@ -15,6 +15,10 @@ Config surface (all optional):
   predict.split     split to export (default "test")
   predict.out_dir   output directory (default <run_dir>/predictions)
   predict.save_prob also write float32 probability volumes (default false)
+  predict.save_uncertainty  also write per-voxel mirror-ensemble
+                    disagreement (std) volumes + a per-case
+                    mean_uncert_in_pred triage column; requires
+                    evaluation.flip_tta.enable=true (default false)
 """
 
 from __future__ import annotations
@@ -94,6 +98,7 @@ def main(argv=None):
         engine.strategy,
         out_dir,
         save_prob=bool(get_config(cfg, "predict.save_prob", False)),
+        save_uncertainty=bool(get_config(cfg, "predict.save_uncertainty", False)),
         logger=logger,
     )
     with manager.mesh:

@@ -143,3 +143,43 @@ class TestSegEvalFlipTTA:
         )
         with pytest.raises(ValueError, match="spatial"):
             SegEvalStrategy(cfg)
+
+
+class TestFlipEnsembleVariance:
+    def test_variance_mean_matches_plain_and_is_zero_for_invariant_fn(self):
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 4, 6, 8, 3), jnp.float32)
+        const = jnp.asarray(np.random.RandomState(1).randn(1, 1, 1, 1, 2), jnp.float32)
+
+        def forward(v):
+            return jnp.broadcast_to(const, v.shape[:-1] + (2,))
+
+        _, mean2 = flip_averaged_probs(forward, x, (1, 2), jax.nn.sigmoid)
+        _, mean3, var = flip_averaged_probs(
+            forward, x, (1, 2), jax.nn.sigmoid, with_variance=True
+        )
+        np.testing.assert_allclose(np.asarray(mean2), np.asarray(mean3), atol=1e-7)
+        # spatially-constant logits: every view identical -> zero disagreement
+        np.testing.assert_allclose(np.asarray(var), 0.0, atol=1e-7)
+
+    def test_variance_matches_manual_population_variance(self):
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(1, 4, 4, 4, 2), jnp.float32)
+        w = jnp.asarray(rng.randn(2, 1), jnp.float32)
+        ramp = jnp.arange(4, dtype=jnp.float32).reshape(1, 4, 1, 1, 1)
+
+        def forward(v):
+            return v @ w + ramp  # position-dependent: flips disagree
+
+        axes = (1, 3)
+        _, mean, var = flip_averaged_probs(
+            forward, x, axes, jax.nn.sigmoid, with_variance=True
+        )
+        views = []
+        for combo in [(), (1,), (3,), (1, 3)]:
+            xv = jnp.flip(x, combo) if combo else x
+            p = jax.nn.sigmoid(forward(xv))
+            views.append(np.asarray(jnp.flip(p, combo) if combo else p))
+        stack = np.stack(views)
+        np.testing.assert_allclose(np.asarray(mean), stack.mean(0), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(var), stack.var(0), atol=1e-6)
+        assert float(np.asarray(var).max()) > 1e-6  # flips genuinely disagree

@@ -187,3 +187,39 @@ class TestExporter:
         assert len(rows) == len(ds)
         written = [f for f in os.listdir(out_dir) if f.endswith("_pred.nii.gz")]
         assert len(written) == len(ds)
+
+
+class TestUncertaintyExport:
+    def _flip_cfg(self):
+        cfg = eval_cfg()
+        cfg.evaluation.flip_tta = ConfigNode({"enable": True, "axes": [2, 3]})
+        return cfg
+
+    def test_uncert_volume_and_triage_column(self, tmp_path):
+        ds = make_dataset(tmp_path)
+        loader = HostLoader(ds, batch_size=2, num_workers=0)
+        state = make_state()
+        strategy = SegmentationEvaluationStrategy(self._flip_cfg())
+        out_dir = str(tmp_path / "preds_u")
+
+        rows = PredictionExporter(
+            strategy, out_dir, save_uncertainty=True
+        ).run(state, loader, mesh=None)
+        r0 = rows[0]
+        assert "uncert_file" in r0 and "mean_uncert_in_pred" in r0
+        img = nifti.load(os.path.join(out_dir, r0["uncert_file"]))
+        unc = np.asarray(img.dataobj)
+        assert unc.dtype == np.float32 and unc.shape == (16, 16, 16)
+        assert float(unc.min()) >= 0.0
+        # an untrained conv net is not flip-equivariant: disagreement > 0
+        assert float(unc.max()) > 1e-6
+
+    def test_uncertainty_requires_flip_ensemble(self, tmp_path):
+        ds = make_dataset(tmp_path)
+        loader = HostLoader(ds, batch_size=2, num_workers=0)
+        state = make_state()
+        strategy = SegmentationEvaluationStrategy(eval_cfg())  # flip OFF
+        with pytest.raises(ValueError, match="flip_tta"):
+            PredictionExporter(
+                strategy, str(tmp_path / "x"), save_uncertainty=True
+            ).run(state, loader, mesh=None)
