@@ -26,6 +26,22 @@ is a new capability.
   has driven predictions degenerate-confident — and triggers a re-anchor
   (source params + fresh optimizer state). ``periodic_reanchor_every``
   additionally bounds drift without any trigger.
+
+  Entropy-gated serving (``gate=True``): pay for adaptation only under
+  drift. The controller starts in a FORWARD-ONLY serving mode (one plain
+  inference dispatch per batch — no backward, no optimizer, measured ~1.6×
+  the online-Tent serving rate on the flagship) and watches the batch
+  entropy that forward already yields. When it crosses the gate threshold
+  (absolute ``gate_threshold``, or ``gate_ratio ×`` the first batch's
+  entropy — ratio mode assumes the stream opens in-domain), the controller
+  escalates: the SAME batch is re-served through the adaptation path and
+  every later batch adapts. The in-scan masking gate (tta.early_stop)
+  cannot save this compute — its scan length is static; the host-level
+  mode switch is what actually skips the backward. De-escalation composes
+  with ``periodic_reanchor_every``: each re-anchor drops back to forward
+  mode, so a recovered stream re-probes at source and stays fast, while a
+  still-shifted stream re-escalates on the next batch (cost: one duplicate
+  forward per probe).
 """
 
 from __future__ import annotations
@@ -53,6 +69,9 @@ class StreamTTAController:
         entropy_floor_ratio: float = 0.2,
         periodic_reanchor_every: int = 0,
         predict_mode: str = "inline",
+        gate: bool = False,
+        gate_ratio: float = 1.5,
+        gate_threshold: Optional[float] = None,
     ):
         if str(policy) not in POLICIES:
             raise ValueError(f"[stream] unknown policy {policy!r}; known: {POLICIES}")
@@ -86,6 +105,27 @@ class StreamTTAController:
         self.n_reanchors = 0
         self.reanchor_log = []  # (batch_idx, reason)
 
+        # entropy-gated serving: forward-only until entropy crosses the gate
+        self.gate = bool(gate)
+        self.gate_ratio = float(gate_ratio)
+        self.gate_threshold = None if gate_threshold is None else float(gate_threshold)
+        self._gate_ref: Optional[float] = None  # first-batch calibration entropy
+        self.mode = "forward" if self.gate else "adapt"
+        self.n_forward_batches = 0
+        self.n_adapt_batches = 0
+        self.escalation_log = []  # (batch_idx, entropy, threshold)
+        self._fp = None
+        if self.gate:
+            if not hasattr(adapter, "make_forward_predict_fn"):
+                raise ValueError(
+                    f"[stream] gate=true needs the adapter's forward-only "
+                    f"serving path (make_forward_predict_fn) — "
+                    f"{type(adapter).__name__} has none"
+                )
+            self._fp = adapter.make_forward_predict_fn(
+                source_state, threshold=float(threshold)
+            )
+
     @classmethod
     def from_config(cls, adapter, source_state, config, *, threshold: float):
         scfg = get_config(config, "tta.stream", ConfigNode())
@@ -98,6 +138,9 @@ class StreamTTAController:
             entropy_floor_ratio=float(get_config(scfg, "entropy_floor_ratio", 0.2)),
             periodic_reanchor_every=int(get_config(scfg, "periodic_reanchor_every", 0)),
             predict_mode=str(get_config(config, "tta.predict", "inline")),
+            gate=bool(get_config(scfg, "gate.enabled", False)),
+            gate_ratio=float(get_config(scfg, "gate.ratio", 1.5)),
+            gate_threshold=get_config(scfg, "gate.threshold", None),
         )
 
     # ------------------------------------------------------------------
@@ -108,6 +151,11 @@ class StreamTTAController:
         self.state = self._source_state
         if hasattr(self.adapter, "reset_optimizer"):
             self.adapter.reset_optimizer()
+        if self.gate:
+            # back at source params: drop to the forward-only fast path and
+            # re-probe — a recovered stream stays there, a still-shifted one
+            # re-escalates on its next batch
+            self.mode = "forward"
         self.n_reanchors += 1
         self.reanchor_log.append((self._n_batches, reason))
         self.logger.info(f"[stream] re-anchored to source at batch {self._n_batches} ({reason})")
@@ -137,6 +185,42 @@ class StreamTTAController:
             if b % mult:
                 pad = ((0, mult - b % mult),) + ((0, 0),) * (image.ndim - 1)
                 image = jnp.pad(image, pad)
+        if self.gate and self.mode == "forward":
+            pred, ent = self._fp(self.state, image, int(n_valid))
+            if self._gate_ref is None:
+                self._gate_ref = ent
+            if self._e0 is None:
+                # the gate forward's entropy IS the stream's first
+                # pre-adaptation entropy (same objective) — anchor the
+                # watchdog/early-stop floors exactly as the ungated path does
+                self._e0 = ent
+            thresh = (
+                self.gate_threshold
+                if self.gate_threshold is not None
+                else self.gate_ratio * self._gate_ref
+            )
+            if ent <= thresh:
+                self._n_batches += 1
+                self.n_forward_batches += 1
+                return pred, {
+                    "entropy_first": ent,
+                    "entropy_final": ent,
+                    "gate_entropy": ent,
+                    "mode": "forward",
+                    "domain": domain,
+                    "reanchored": False,
+                    "reason": None,
+                }
+            # drift detected: escalate and re-serve THIS batch adapted (the
+            # trigger batch pays one duplicate forward; serving quality never
+            # depends on escalation latency)
+            self.mode = "adapt"
+            self.escalation_log.append((self._n_batches, ent, float(thresh)))
+            self.logger.info(
+                f"[stream] gate escalated at batch {self._n_batches}: "
+                f"entropy {ent:.4g} > {float(thresh):.4g}"
+            )
+
         # anchor the adapter's in-scan early-stop floor at the STREAM's
         # first pre-adaptation entropy: in continual mode each batch's own
         # first-step entropy is already collapsed, so the adapter's
@@ -145,6 +229,7 @@ class StreamTTAController:
         floor = None
         if getattr(self.adapter, "early_stop", False) and self._e0 is not None:
             floor = float(self.adapter.early_stop_ratio) * self._e0
+        self.n_adapt_batches += 1
         self.state, pred = self._ap(self.state, image, int(n_valid), ent_floor=floor)
         ents = self.adapter._last_ents
         ent_first = float(ents[0])
@@ -157,6 +242,8 @@ class StreamTTAController:
         info = {
             "entropy_first": ent_first,
             "entropy_final": ent_final,
+            "gate_entropy": None,
+            "mode": "adapt",
             "domain": domain,
             "reanchored": False,
             "reason": None,
@@ -209,6 +296,7 @@ def evaluate_stream(controller: StreamTTAController, stream) -> Dict[str, Any]:
                 "domain": str(domain),
                 "dice": round(float(np.mean(ds)), 4) if ds else None,
                 "entropy": round(info["entropy_final"], 5),
+                "mode": info.get("mode", "adapt"),
                 "reanchored": bool(info["reanchored"]),
             }
         )
@@ -217,9 +305,18 @@ def evaluate_stream(controller: StreamTTAController, stream) -> Dict[str, Any]:
         "avg_dc": round(float(np.mean(alls)), 4) if alls else 0.0,
         "n_cases": len(alls),
         "reanchors": controller.n_reanchors,
-        "policy": controller.policy + ("+guard" if controller.guard else ""),
+        "policy": controller.policy
+        + ("+guard" if controller.guard else "")
+        + ("+gate" if controller.gate else ""),
         "positions": positions,
     }
+    if controller.gate:
+        metrics["gate/forward_batches"] = controller.n_forward_batches
+        metrics["gate/adapt_batches"] = controller.n_adapt_batches
+        metrics["gate/escalations"] = [
+            {"batch": b, "entropy": round(e, 5), "threshold": round(t, 5)}
+            for b, e, t in controller.escalation_log
+        ]
     for dom, v in per_domain.items():
         metrics[f"dom/{dom}/avg_dc"] = round(float(np.mean(v)), 4) if v else 0.0
     return metrics

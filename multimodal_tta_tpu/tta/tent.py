@@ -903,6 +903,63 @@ class TentAdapter:
 
         return call, state0
 
+    def make_forward_predict_fn(self, source_state, threshold: float) -> Callable:
+        """forward_predict_fn(state, image, n_valid) -> (pred uint8, entropy).
+
+        The gated-serving FAST PATH (tta.stream.gate): one plain inference
+        forward — normalization, prediction thresholding and the batch-mean
+        adaptation entropy fused into a single dispatch, with NO backward and
+        no state change. The entropy is computed with the SAME objective the
+        adapt step minimizes (sigmoid/softmax mode + entropy_focus), so gate
+        thresholds calibrated on it are directly comparable with adaptation
+        entropy traces. BatchNorm models run with their stored statistics
+        (train=False) — that IS the unadapted serving forward being gated.
+        """
+        norm_fn = self._norm_fn
+        sigmoid_mode = self.sigmoid_mode
+        entropy_focus = self.entropy_focus
+        thr = float(threshold)
+        apply_fn = source_state.apply_fn
+
+        def fwd(params, batch_stats, image, n_valid):
+            image = image.astype(jnp.float32)  # upcast compact transfer dtypes
+            if norm_fn is not None:
+                image = jax.vmap(norm_fn)(image)
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            logits = apply_fn(variables, image, train=False)
+            b = image.shape[0]
+            mask = (jnp.arange(b) < n_valid).astype(jnp.float32)
+            per = jax.vmap(
+                lambda lg: entropy_loss(lg[None], sigmoid=sigmoid_mode, focus=entropy_focus)
+            )(logits)
+            ent = jnp.sum(per * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+            if sigmoid_mode:
+                pred = (jax.nn.sigmoid(logits) >= thr).astype(jnp.uint8)
+            else:
+                pred = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.uint8)
+            return pred, ent
+
+        if self.mesh is not None:
+            bsh = batch_sharding(self.mesh)
+            rep = replicated(self.mesh)
+            jit_fwd = jax.jit(
+                fwd,
+                in_shardings=(rep, rep, bsh, rep),
+                out_shardings=(bsh, rep),
+            )
+        else:
+            jit_fwd = jax.jit(fwd)
+
+        def forward_predict_fn(state, image, n_valid):
+            pred, ent = jit_fwd(
+                state.params, state.batch_stats, image, jnp.int32(n_valid)
+            )
+            return pred, float(ent)
+
+        return forward_predict_fn
+
     def make_adapt_predict_fn(
         self, source_state, threshold: float, predict_mode: Optional[str] = None
     ) -> Callable:

@@ -123,10 +123,25 @@ def stream_batches(manager):
             yield center, batch
 
 
+def gated_stream(manager, suffix: bool = False):
+    """The serving shape the entropy gate exists for: the stream OPENS on the
+    source distribution (val batches of the source centers), drifts to the
+    shifted CHUP center, and (optionally) returns in-domain — so the right
+    behavior is forward-only -> escalate at the boundary -> re-probe back."""
+    for batch in manager._builder.get_loader("val"):
+        yield "SRC", batch
+    for batch in manager._builder.get_loader("test", target_center="CHUP"):
+        yield "CHUP", batch
+    if suffix:
+        for batch in manager._builder.get_loader("val"):
+            yield "SRC_return", batch
+
+
 def run_policy(manager, cfg, device_transform, *, policy, guard, steps, lr,
                threshold=0.3, floor_ratio=0.2, early_stop_ratio=None,
                restore_prob=None, rel_margin=None, method="tent",
-               ema=0.999, n_views=2, node_extra=None):
+               ema=0.999, n_views=2, node_extra=None,
+               gate_ratio=None, period=0, stream=None):
     """One pass over the ordered stream under one controller config."""
     from multimodal_tta_tpu.conf import ConfigNode
     from multimodal_tta_tpu.registry import get_tta_method
@@ -153,10 +168,15 @@ def run_policy(manager, cfg, device_transform, *, policy, guard, steps, lr,
     ctrl = StreamTTAController(
         adapter, manager.state, threshold=threshold, policy=policy,
         guard=guard, entropy_floor_ratio=floor_ratio, predict_mode="inline",
+        gate=gate_ratio is not None,
+        gate_ratio=gate_ratio if gate_ratio is not None else 1.5,
+        periodic_reanchor_every=period,
     )
     with manager.mesh:
-        row = evaluate_stream(ctrl, stream_batches(manager))
+        row = evaluate_stream(ctrl, stream if stream is not None else stream_batches(manager))
     row.update({"steps": steps, "lr": lr})
+    if gate_ratio is not None:
+        row["gate_ratio"] = gate_ratio
     if method != "tent":
         row["policy"] = f"{method}:{row['policy']}"
         if method == "cotta":
@@ -177,7 +197,7 @@ def run_policy(manager, cfg, device_transform, *, policy, guard, steps, lr,
     return row
 
 
-def run_no_adapt(manager, cfg, device_transform, threshold=0.3):
+def run_no_adapt(manager, cfg, device_transform, threshold=0.3, stream=None):
     import numpy as np
     import jax
 
@@ -210,7 +230,7 @@ def run_no_adapt(manager, cfg, device_transform, threshold=0.3):
 
     per_domain = {}
     with manager.mesh:
-        for domain, batch in stream_batches(manager):
+        for domain, batch in (stream if stream is not None else stream_batches(manager)):
             n = int(batch.get("_n_valid", batch["image"].shape[0]))
             pred = predict(state.params, state.batch_stats, jnp.asarray(batch["image"]))
             per_domain.setdefault(domain, []).extend(binary_dice_per_case(pred, batch["label"], n))
@@ -234,6 +254,12 @@ def main() -> None:
                     help="fixture volume shape X Y Z (small values = smoke test)")
     ap.add_argument("--per-center", type=int, default=16)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--gate", action="store_true",
+                    help="entropy-gated serving protocol (tta.stream.gate): "
+                         "in-domain prefix -> shifted CHUP -> in-domain "
+                         "return; gated arms + no-adapt/always-adapt "
+                         "controls instead of the full policy table")
+    ap.add_argument("--gate-ratio", type=float, default=1.5)
     ap.add_argument("--scope", default=None,
                     help="tta.update_path_regex for a FOCUSED scoped-vs-full "
                          "comparison (layer-scoped Tent, BASELINE.md ladder): "
@@ -262,6 +288,50 @@ def main() -> None:
     def emit(row):
         rows.append(row)
         print(json.dumps({k: v for k, v in row.items() if k != "positions"}))
+
+    if args.gate:
+        # Entropy-gated serving (tta.stream.gate): the claims under test are
+        # (1) the in-domain prefix is served forward-only (no backward paid),
+        # (2) escalation lands exactly at the domain boundary, (3) shifted
+        # quality matches always-adapt, (4) with a periodic re-probe the
+        # mode TRACKS the domain — forward again once the stream returns
+        # in-domain. Quality control arms: no-adapt and always-adapt over
+        # the identical stream.
+        op = dict(steps=args.steps, lr=args.lr)
+        emit({**run_no_adapt(manager, cfg, device_transform,
+                             stream=gated_stream(manager, suffix=True)),
+              "arm": "no_adapt"})
+        row = run_policy(manager, cfg, device_transform, policy="continual",
+                         guard=True, stream=gated_stream(manager, suffix=True), **op)
+        emit({**row, "arm": "always_adapt"})
+        row = run_policy(manager, cfg, device_transform, policy="continual",
+                         guard=True, gate_ratio=args.gate_ratio,
+                         stream=gated_stream(manager, suffix=True), **op)
+        emit({**row, "arm": "gated"})
+        row = run_policy(manager, cfg, device_transform, policy="continual",
+                         guard=True, gate_ratio=args.gate_ratio, period=2,
+                         stream=gated_stream(manager, suffix=True), **op)
+        emit({**row, "arm": "gated_reprobe_every2"})
+
+        gated = rows[2]
+        fwd = gated.get("gate/forward_batches", 0)
+        adp = gated.get("gate/adapt_batches", 0)
+        verdict = {
+            "no_adapt_CHUP": rows[0].get("dom/CHUP/avg_dc"),
+            "always_adapt_CHUP": rows[1].get("dom/CHUP/avg_dc"),
+            "gated_CHUP": gated.get("dom/CHUP/avg_dc"),
+            "gated_SRC": gated.get("dom/SRC/avg_dc"),
+            "forward_batches": fwd,
+            "adapt_batches": adp,
+            "escalations": gated.get("gate/escalations"),
+            "reprobe_modes": [p["mode"] for p in rows[3]["positions"]],
+            "reprobe_SRC_return": rows[3].get("dom/SRC_return/avg_dc"),
+        }
+        print(json.dumps(verdict))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump({"rows": rows, "verdict": verdict}, f, indent=2)
+        return
 
     emit(run_no_adapt(manager, cfg, device_transform))
 

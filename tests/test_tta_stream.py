@@ -284,3 +284,143 @@ class TestStreamOverMesh:
         p, infos, _ = self._run(make_mesh(), n_batches=2, b=3)
         assert all(x.shape[0] == 3 for x in p)
         assert all(np.isfinite(i["entropy_final"]) for i in infos)
+
+
+class TestEntropyGatedServing:
+    """tta.stream.gate: forward-only fast path until entropy crosses the
+    gate, same-batch escalation, re-probe after re-anchor. The host-level
+    mode switch is what actually skips the backward (the in-scan early-stop
+    gate is masking only — its scan length is static)."""
+
+    def _gate_ctrl(self, state, **kw):
+        return StreamTTAController(
+            _adapter(state), state, threshold=0.5, policy="continual",
+            gate=True, **kw,
+        )
+
+    def _forward_entropy(self, state, x):
+        fp = _adapter(state).make_forward_predict_fn(state, threshold=0.5)
+        return fp(state, jnp.asarray(x), x.shape[0])[1]
+
+    def test_forward_mode_never_touches_state(self):
+        state = _state()
+        ctrl = self._gate_ctrl(state, gate_threshold=1e9)  # unreachable gate
+        for i in range(3):
+            _, info = ctrl.step(_batch(i), 2)
+            assert info["mode"] == "forward"
+        assert ctrl.n_forward_batches == 3 and ctrl.n_adapt_batches == 0
+        assert _params_equal(ctrl.state.params, state.params)
+        assert ctrl.escalation_log == []
+
+    def test_forward_pred_matches_plain_inference(self):
+        state = _state()
+        ctrl = self._gate_ctrl(state, gate_threshold=1e9)
+        x = _batch(0)
+        pred, _ = ctrl.step(x, 2)
+        logits = state.apply_fn({"params": state.params}, jnp.asarray(x), train=False)
+        expected = (jax.nn.sigmoid(logits) >= 0.5).astype(np.uint8)
+        np.testing.assert_array_equal(np.asarray(pred), np.asarray(expected))
+
+    def test_gate_entropy_matches_adapt_trace_first_step(self):
+        """The fast path's entropy is the SAME objective the adapt step
+        reports as its pre-update entropy — thresholds transfer."""
+        state = _state()
+        x = _batch(0)
+        ent_fwd = self._forward_entropy(state, x)
+        ctrl = StreamTTAController(
+            _adapter(state), state, threshold=0.5, policy="continual"
+        )
+        _, info = ctrl.step(x, 2)
+        np.testing.assert_allclose(ent_fwd, info["entropy_first"], atol=1e-5)
+
+    def test_escalates_on_drift_and_adapts_same_batch(self):
+        state = _state()
+        a, b = _batch(0), _batch(1)
+        ea = self._forward_entropy(state, a)
+        eb = self._forward_entropy(state, b)
+        lo, hi = (a, b) if ea < eb else (b, a)
+        mid = 0.5 * (min(ea, eb) + max(ea, eb))
+        ctrl = self._gate_ctrl(state, gate_threshold=mid)
+        _, info = ctrl.step(lo, 2)
+        assert info["mode"] == "forward"
+        assert _params_equal(ctrl.state.params, state.params)
+        _, info = ctrl.step(hi, 2)
+        # trigger batch is re-served through the adaptation path
+        assert info["mode"] == "adapt"
+        assert not _params_equal(ctrl.state.params, state.params)
+        assert len(ctrl.escalation_log) == 1
+        batch_idx, ent, thresh = ctrl.escalation_log[0]
+        assert batch_idx == 1 and ent > thresh
+        # and the stream stays in adapt mode afterwards
+        _, info = ctrl.step(lo, 2)
+        assert info["mode"] == "adapt"
+        assert ctrl.n_forward_batches == 1 and ctrl.n_adapt_batches == 2
+
+    def test_ratio_mode_calibrates_on_first_batch(self):
+        state = _state()
+        x = _batch(0)
+        ctrl = self._gate_ctrl(state, gate_ratio=1.5)
+        _, info = ctrl.step(x, 2)
+        # first batch defines the reference and cannot itself escalate
+        assert info["mode"] == "forward"
+        assert ctrl._gate_ref == pytest.approx(info["gate_entropy"])
+
+    def test_reanchor_returns_to_forward_mode(self):
+        state = _state()
+        ctrl = StreamTTAController(
+            _adapter(state), state, threshold=0.5, policy="continual",
+            gate=True, gate_threshold=-1.0,  # every batch escalates
+            periodic_reanchor_every=2,
+        )
+        _, i0 = ctrl.step(_batch(0), 2)
+        assert i0["mode"] == "adapt" and ctrl.mode == "adapt"
+        _, i1 = ctrl.step(_batch(1), 2)
+        assert i1["reanchored"]  # periodic fires on the 2nd adapted batch
+        assert ctrl.mode == "forward"  # re-probe at source
+        # still-shifted stream re-escalates on the next batch
+        _, i2 = ctrl.step(_batch(2), 2)
+        assert i2["mode"] == "adapt"
+
+    def test_from_config_gate_keys(self):
+        state = _state()
+        cfg = ConfigNode(
+            {
+                "tta": {
+                    "predict": "inline",
+                    "stream": {
+                        "policy": "continual",
+                        "gate": {"enabled": True, "ratio": 2.0, "threshold": 0.25},
+                    },
+                }
+            }
+        )
+        ctrl = StreamTTAController.from_config(_adapter(state), state, cfg, threshold=0.4)
+        assert ctrl.gate and ctrl.gate_ratio == 2.0 and ctrl.gate_threshold == 0.25
+
+    def test_evaluate_stream_reports_gate_economics(self):
+        from multimodal_tta_tpu.tta.stream import evaluate_stream
+
+        state = _state()
+        ctrl = self._gate_ctrl(state, gate_threshold=1e9)
+        label = np.zeros((2, 8, 8, 8, 1), np.float32)
+        label[:, 2:4, 2:4, 2:4] = 1.0
+        stream = [("A", {"image": _batch(i), "label": label}) for i in range(2)]
+        m = evaluate_stream(ctrl, stream)
+        assert m["policy"].endswith("+gate")
+        assert m["gate/forward_batches"] == 2 and m["gate/adapt_batches"] == 0
+        assert m["positions"][0]["mode"] == "forward"
+
+    def test_gate_on_mesh_matches_single_device(self):
+        from multimodal_tta_tpu.parallel.mesh import make_mesh
+
+        state = _state()
+        x = _batch(0)
+        ent_1 = self._forward_entropy(state, x)
+        adapter = _adapter(state)
+        adapter.mesh = make_mesh()
+        fp = adapter.make_forward_predict_fn(state, threshold=0.5)
+        import jax.numpy as _jnp
+
+        pad = _jnp.pad(_jnp.asarray(x), ((0, 6), (0, 0), (0, 0), (0, 0), (0, 0)))
+        pred8, ent_8 = fp(state, pad, 2)
+        np.testing.assert_allclose(ent_8, ent_1, atol=1e-5)
