@@ -129,6 +129,19 @@ class StreamTTAController:
     @classmethod
     def from_config(cls, adapter, source_state, config, *, threshold: float):
         scfg = get_config(config, "tta.stream", ConfigNode())
+        period = int(get_config(scfg, "periodic_reanchor_every", 0))
+        # `gate.reprobe_every` is an alias: the gate's periodic re-probe IS
+        # the periodic re-anchor (reanchor() drops the gate back to forward
+        # mode, so the next batch probes at source). Both set -> ambiguous.
+        reprobe = int(get_config(scfg, "gate.reprobe_every", 0))
+        if reprobe:
+            if period and period != reprobe:
+                raise ValueError(
+                    "[stream] tta.stream.periodic_reanchor_every and "
+                    "tta.stream.gate.reprobe_every are aliases — set one "
+                    f"(got {period} vs {reprobe})"
+                )
+            period = reprobe
         return cls(
             adapter,
             source_state,
@@ -136,7 +149,7 @@ class StreamTTAController:
             policy=str(get_config(scfg, "policy", "continual")),
             guard=bool(get_config(scfg, "guard", False)),
             entropy_floor_ratio=float(get_config(scfg, "entropy_floor_ratio", 0.2)),
-            periodic_reanchor_every=int(get_config(scfg, "periodic_reanchor_every", 0)),
+            periodic_reanchor_every=period,
             predict_mode=str(get_config(config, "tta.predict", "inline")),
             gate=bool(get_config(scfg, "gate.enabled", False)),
             gate_ratio=float(get_config(scfg, "gate.ratio", 1.5)),

@@ -397,6 +397,35 @@ class TestEntropyGatedServing:
         ctrl = StreamTTAController.from_config(_adapter(state), state, cfg, threshold=0.4)
         assert ctrl.gate and ctrl.gate_ratio == 2.0 and ctrl.gate_threshold == 0.25
 
+    def test_from_config_gate_reprobe_alias(self):
+        """`gate.reprobe_every` is a documented alias of
+        `periodic_reanchor_every` (the re-anchor is what drops the gate back
+        to forward mode); both set to different values is an error."""
+        import pytest
+
+        state = _state()
+
+        def cfg(stream):
+            return ConfigNode({"tta": {"predict": "inline", "stream": stream}})
+
+        ctrl = StreamTTAController.from_config(
+            _adapter(state), state,
+            cfg({"gate": {"enabled": True, "reprobe_every": 5}}), threshold=0.4,
+        )
+        assert ctrl.period == 5
+        ctrl = StreamTTAController.from_config(
+            _adapter(state), state,
+            cfg({"periodic_reanchor_every": 3,
+                 "gate": {"enabled": True, "reprobe_every": 3}}), threshold=0.4,
+        )
+        assert ctrl.period == 3
+        with pytest.raises(ValueError, match="alias"):
+            StreamTTAController.from_config(
+                _adapter(state), state,
+                cfg({"periodic_reanchor_every": 3,
+                     "gate": {"enabled": True, "reprobe_every": 5}}), threshold=0.4,
+            )
+
     def test_evaluate_stream_reports_gate_economics(self):
         from multimodal_tta_tpu.tta.stream import evaluate_stream
 
