@@ -87,6 +87,12 @@ def main(argv=None):
                          "only; adapt artifacts bake theirs in at export)")
     ap.add_argument("--seed", type=int, default=0, help="serving rng seed")
     ap.add_argument("--limit", type=int, default=None, help="serve first N cases")
+    ap.add_argument(
+        "--dispatch-deadline", type=float, default=300.0,
+        help="seconds a single batch dispatch may take before the serving "
+             "loop declares the accelerator client wedged and exits with a "
+             "diagnosis (0 disables; first batch includes the jit compile)",
+    )
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -127,66 +133,76 @@ def main(argv=None):
     floor = jnp.float32(jnp.nan)
 
     rows, n_written = [], 0
-    for start in range(0, len(cases), batch):
-        chunk = cases[start : start + batch]
-        n_valid = len(chunk)
-        imgs, geoms = [], []
-        for row in chunk:
-            try:
-                imgs.append(_decode_case(row, args.channels, (*dhw, n_ch)))
-                geoms.append(peek_canonical_geometry(row[args.channels[0]]) + ("ok",))
-            except Exception as e:  # error-capture row, keep serving
+    # Stalled-dispatch watchdog: a stale/suspended client holding the TPU
+    # tunnel makes a dispatch block forever with no exception (the round-3
+    # bench failure mode) — deployment loops must diagnose-and-exit, not
+    # hang. Progress is any completed batch (utils/watchdog.py).
+    from multimodal_tta_tpu.utils.watchdog import DispatchWatchdog
+
+    with DispatchWatchdog(
+        args.dispatch_deadline, what="serving batch dispatch (serve_artifact)"
+    ) as watchdog:
+        for start in range(0, len(cases), batch):
+            chunk = cases[start : start + batch]
+            n_valid = len(chunk)
+            imgs, geoms = [], []
+            for row in chunk:
+                try:
+                    imgs.append(_decode_case(row, args.channels, (*dhw, n_ch)))
+                    geoms.append(peek_canonical_geometry(row[args.channels[0]]) + ("ok",))
+                except Exception as e:  # error-capture row, keep serving
+                    imgs.append(np.zeros((*dhw, n_ch), np.float32))
+                    geoms.append((np.eye(4), tuple(reversed(dhw)), f"error:{type(e).__name__}:{e}"))
+            while len(imgs) < batch:  # zero-pad the tail batch
                 imgs.append(np.zeros((*dhw, n_ch), np.float32))
-                geoms.append((np.eye(4), tuple(reversed(dhw)), f"error:{type(e).__name__}:{e}"))
-        while len(imgs) < batch:  # zero-pad the tail batch
-            imgs.append(np.zeros((*dhw, n_ch), np.float32))
-        image = jnp.asarray(np.stack(imgs))
+            image = jnp.asarray(np.stack(imgs))
 
-        if mode == "adapt":
-            rng, key = jax.random.split(rng)
-            out = call(*state, image, key, jnp.int32(n_valid), floor)
-            state = list(out[: art.n_state])
-            ents = np.asarray(out[art.n_state])
-            pred = np.asarray(out[art.n_state + 1])[:n_valid]
-            ent_final = float(ents[-1])
-        else:
-            prob = np.asarray(call(image))[:n_valid]
-            pred = (prob >= args.threshold).astype(np.uint8)
-            ent_final = None
+            if mode == "adapt":
+                rng, key = jax.random.split(rng)
+                out = call(*state, image, key, jnp.int32(n_valid), floor)
+                state = list(out[: art.n_state])
+                ents = np.asarray(out[art.n_state])
+                pred = np.asarray(out[art.n_state + 1])[:n_valid]
+                ent_final = float(ents[-1])
+            else:
+                prob = np.asarray(call(image))[:n_valid]
+                pred = (prob >= args.threshold).astype(np.uint8)
+                ent_final = None
 
-        n_regions = pred.shape[-1]
-        regions = args.regions or (
-            ["pred"] if n_regions == 1 else [f"r{i}" for i in range(n_regions)]
-        )
-        if len(regions) != n_regions:
-            raise ValueError(
-                f"--regions names {len(regions)} channels, prediction has {n_regions}"
+            n_regions = pred.shape[-1]
+            regions = args.regions or (
+                ["pred"] if n_regions == 1 else [f"r{i}" for i in range(n_regions)]
             )
-        for i, row in enumerate(chunk):
-            affine, shape_xyz, status = geoms[i]
-            d, h, w = (int(s) for s in dhw)
-            if status == "ok" and tuple(shape_xyz) != (w, h, d):
-                status = f"geometry_mismatch:source_xyz={tuple(shape_xyz)}"
-                affine = np.eye(4)
-            case_id = row.get("case_id") or row.get("patient_id") or f"case{start + i}"
-            out_row = {"case_id": case_id, "status": status}
-            if ent_final is not None:
-                out_row["entropy_final"] = round(ent_final, 6)
-            pred_xyzr = np.transpose(pred[i], (2, 1, 0, 3)).astype(np.uint8)
-            files = []
-            for r, name in enumerate(regions):
-                suffix = "pred" if n_regions == 1 else f"{name.lower()}_pred"
-                path = os.path.join(args.out, f"{case_id}_{suffix}.nii.gz")
-                nifti_save(pred_xyzr[..., r], affine, path, dtype=np.uint8)
-                files.append(os.path.basename(path))
-                out_row[f"voxels_{name.lower()}"] = int(pred_xyzr[..., r].sum())
-            out_row["files"] = ";".join(files)
-            rows.append(out_row)
-            n_written += 1
-        logger.info(
-            f"[serve] batch {start // batch}: {n_valid} cases"
-            + (f", entropy {ent_final:.4f}" if ent_final is not None else "")
-        )
+            if len(regions) != n_regions:
+                raise ValueError(
+                    f"--regions names {len(regions)} channels, prediction has {n_regions}"
+                )
+            for i, row in enumerate(chunk):
+                affine, shape_xyz, status = geoms[i]
+                d, h, w = (int(s) for s in dhw)
+                if status == "ok" and tuple(shape_xyz) != (w, h, d):
+                    status = f"geometry_mismatch:source_xyz={tuple(shape_xyz)}"
+                    affine = np.eye(4)
+                case_id = row.get("case_id") or row.get("patient_id") or f"case{start + i}"
+                out_row = {"case_id": case_id, "status": status}
+                if ent_final is not None:
+                    out_row["entropy_final"] = round(ent_final, 6)
+                pred_xyzr = np.transpose(pred[i], (2, 1, 0, 3)).astype(np.uint8)
+                files = []
+                for r, name in enumerate(regions):
+                    suffix = "pred" if n_regions == 1 else f"{name.lower()}_pred"
+                    path = os.path.join(args.out, f"{case_id}_{suffix}.nii.gz")
+                    nifti_save(pred_xyzr[..., r], affine, path, dtype=np.uint8)
+                    files.append(os.path.basename(path))
+                    out_row[f"voxels_{name.lower()}"] = int(pred_xyzr[..., r].sum())
+                out_row["files"] = ";".join(files)
+                rows.append(out_row)
+                n_written += 1
+            logger.info(
+                f"[serve] batch {start // batch}: {n_valid} cases"
+                + (f", entropy {ent_final:.4f}" if ent_final is not None else "")
+            )
+            watchdog.heartbeat()  # a completed batch is forward progress
 
     manifest_out = os.path.join(args.out, "predictions.csv")
     if rows:

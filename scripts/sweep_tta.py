@@ -39,12 +39,18 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
 
     centers = DEFAULT_CENTERS
+    # per-center wall budget before the sweep declares the accelerator
+    # client wedged and exits with a diagnosis (stale-suspended-client
+    # failure mode, BASELINE.md); 0 disables
+    dispatch_deadline = 900.0
     rest = []
     for tok in argv:
         if tok.startswith("sweep.centers="):
             import yaml
 
             centers = [str(c) for c in yaml.safe_load(tok.split("=", 1)[1])]
+        elif tok.startswith("sweep.dispatch_deadline="):
+            dispatch_deadline = float(tok.split("=", 1)[1])
         else:
             rest.append(tok)
 
@@ -74,10 +80,17 @@ def main(argv=None):
 
     engine = TTAEngine(cfg, mesh=manager.mesh, device_transform=device_transform)
 
+    from multimodal_tta_tpu.utils.watchdog import DispatchWatchdog
+
     results = {}
     n_total_cases = 0
     t0 = time.perf_counter()
-    with manager.mesh:
+    # one watchdog across the sweep, heartbeat per completed center: a
+    # wedged tunnel (stale suspended client) blocks evaluate() forever
+    # with no exception — diagnose-and-exit instead of hanging the sweep
+    with manager.mesh, DispatchWatchdog(
+        dispatch_deadline, what="per-center TTA evaluation (sweep_tta)"
+    ) as watchdog:
         for center in centers:
             logger.info(f"=== target_center={center} ===")
             ds = builder.build_dataset("test", target_center=center)
@@ -86,6 +99,7 @@ def main(argv=None):
             metrics = engine.evaluate(manager.state, loader)
             results[center] = metrics
             logger.info(f"[{center}] avg_dc={metrics.get('avg_dc'):.4f}")
+            watchdog.heartbeat()
     dt = time.perf_counter() - t0
 
     summary = {

@@ -121,6 +121,76 @@ class TestServeArtifactCLI:
         assert statuses[1].startswith("error:")  # captured, stream continued
         assert "entropy_final" not in out_rows[0]  # forward mode: stateless
 
+    def test_stalled_dispatch_watchdog_fires(self, tmp_path, monkeypatch):
+        """A batch that produces no result within --dispatch-deadline must
+        trip the wedged-client watchdog (round-3 failure mode: a stale
+        suspended client wedges the tunnel and the dispatch blocks forever
+        with no exception). The stall is simulated with a slow decode; the
+        firing path is recorded instead of os._exit-ing the test runner."""
+        import time
+
+        from multimodal_tta_tpu.utils import watchdog as watchdog_mod
+
+        state, _ = tiny_state()
+
+        def probs(image):
+            return jax.nn.sigmoid(
+                state.apply_fn({"params": state.params}, image, train=False)
+            )
+
+        exported, meta = export_forward_serving(probs, SHAPE, platforms=("cpu",))
+        art_path = os.path.join(tmp_path, "fwd.mttas")
+        save_artifact(art_path, exported, meta)
+        manifest, _ = make_cases(os.path.join(tmp_path, "data"), n=1)
+
+        fired = {}
+        real_watchdog = watchdog_mod.DispatchWatchdog
+
+        class Recorder(real_watchdog):
+            def _fire(self):  # keep the diagnosis, skip the os._exit
+                fired["msg"] = watchdog_mod.wedged_diagnosis(
+                    self.what, self.deadline_s
+                )
+
+        monkeypatch.setattr(watchdog_mod, "DispatchWatchdog", Recorder)
+
+        cli = _load_cli()
+        real_decode = cli._decode_case
+
+        def wedged_decode(*a, **kw):
+            time.sleep(1.2)  # "hung" longer than the deadline, then recovers
+            return real_decode(*a, **kw)
+
+        monkeypatch.setattr(cli, "_decode_case", wedged_decode)
+        out_rows = cli.main([
+            "--artifact", art_path, "--manifest", manifest,
+            "--channels", "ct", "--out", os.path.join(tmp_path, "preds"),
+            "--dispatch-deadline", "0.3",
+        ])
+        assert fired, "watchdog did not fire on a stalled batch"
+        assert "wedged" in fired["msg"] and "stale" in fired["msg"]
+        assert len(out_rows) == 1  # the recorder lets the stream finish
+
+    def test_dispatch_deadline_zero_disables_watchdog(self, tmp_path):
+        state, _ = tiny_state()
+
+        def probs(image):
+            return jax.nn.sigmoid(
+                state.apply_fn({"params": state.params}, image, train=False)
+            )
+
+        exported, meta = export_forward_serving(probs, SHAPE, platforms=("cpu",))
+        art_path = os.path.join(tmp_path, "fwd.mttas")
+        save_artifact(art_path, exported, meta)
+        manifest, _ = make_cases(os.path.join(tmp_path, "data"), n=1)
+        cli = _load_cli()
+        out_rows = cli.main([
+            "--artifact", art_path, "--manifest", manifest,
+            "--channels", "ct", "--out", os.path.join(tmp_path, "preds"),
+            "--dispatch-deadline", "0",
+        ])
+        assert len(out_rows) == 1
+
     def test_channel_count_mismatch_fails_loudly(self, tmp_path):
         state, _ = tiny_state()
         c = tent_cfg()
