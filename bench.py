@@ -80,7 +80,10 @@ retain_host_memory()
 
 CPU_CACHE = os.path.join(REPO_ROOT, ".bench_cpu_baseline.json")
 
-SHAPE = (48, 144, 144, 2)  # D,H,W,C — HECKTOR21 working shape
+# D,H,W,C — HECKTOR21 working shape. BENCH_SHAPE="d,h,w,c" overrides for
+# fixture-scale smokes (tests/test_bench_model.py); the headline artifact is
+# only comparable at the default.
+SHAPE = tuple(int(v) for v in os.environ.get("BENCH_SHAPE", "48,144,144,2").split(","))
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 E2E_BATCHES = int(os.environ.get("BENCH_E2E_BATCHES", "4"))  # volumes = BATCHES*BATCH
 E2E_EPOCHS = int(os.environ.get("BENCH_E2E_EPOCHS", "2"))

@@ -68,9 +68,13 @@ def make_hecktor_fixture(
                 # ellipsoid, z squashed 2x (anisotropic spacing)
                 ball = ((X - cx) ** 2 + (Y - cy) ** 2 + ((Z - cz) * 2.0) ** 2) < r * r
                 mask |= ball.astype(np.uint8)
-            # make the tumor visible in both modalities
-            ct = ct + mask * lesion_contrast[0]
-            pt = pt + mask * lesion_contrast[1]
+            # make the tumor visible in both modalities. The cast matters:
+            # uint8 * python-float promotes to float64, which silently made
+            # every fixture volume 8 bytes/voxel — 2x the production dtype
+            # on disk AND a deflate worst case (zero-interleaved doubles
+            # compressed ~60x slower at gzip-9: 10s vs 0.16s per volume)
+            ct = ct + mask.astype(np.float32) * np.float32(lesion_contrast[0])
+            pt = pt + mask.astype(np.float32) * np.float32(lesion_contrast[1])
 
             sh = (domain_shift or {}).get(center)
             if sh:

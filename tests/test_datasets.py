@@ -431,6 +431,29 @@ class TestStructuredFixtures:
         assert et.any()
         assert img[et].mean() > img[~(lab > 0)].mean() + 1.0
 
+    def test_hecktor_fixture_volumes_are_float32_on_disk(self, tmp_path):
+        """Regression: uint8-mask * python-float promoted CT/PET to float64,
+        silently doubling every fixture volume on disk (2x decode work in
+        the e2e bench vs the production float32 dtype) and hitting a
+        deflate worst case (~60x slower gzip-9 on zero-interleaved
+        doubles). The generator must write the production dtype."""
+        from multimodal_tta_tpu.data import nifti
+
+        manifest = make_hecktor_fixture(
+            str(tmp_path / "f32"),
+            centers={"CHUP": 1},
+            shape=(16, 16, 8),
+            seed=7,
+            domain_shift={"CHUP": {"ct_gain": 1.2, "bias_field": 0.3,
+                                   "pt_gamma": 1.5, "noise": 50.0}},
+        )
+        import pandas as pd
+
+        row = pd.read_csv(manifest).iloc[0]
+        for col in ("ct_proc", "pt_proc"):
+            img = nifti.load(row[col])
+            assert img.dataobj.dtype == np.float32, (col, img.dataobj.dtype)
+
     def test_hecktor_domain_shift_changes_target_center_only(self, tmp_path):
         from multimodal_tta_tpu.data import nifti
 
