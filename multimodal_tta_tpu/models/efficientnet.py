@@ -4,6 +4,13 @@ Registry parity with the reference's torchvision wrappers (reference:
 src/models/efficientnet.py:57-289; names efficientnet_b0..b7 and v2_s/m/l).
 MBConv (and FusedMBConv for v2) with squeeze-excitation; forward returns
 ``(pooled_features, logits)``.
+
+Structure matches torchvision exactly so ImageNet state_dicts port
+losslessly (models/pretrained.py:port_torch_efficientnet): explicit
+symmetric (k-1)//2 paddings (XLA "SAME" pads stride-2 convs asymmetrically,
+which silently breaks weight-ported forward parity), single-conv
+FusedMBConv when expand==1, BatchNorm eps 1e-3 for the v2 variants, and the
+v2 stem width taken from the first stage (32 for v2_l, 24 for v2_s/m).
 """
 
 from __future__ import annotations
@@ -96,6 +103,15 @@ class SqueezeExcite(nn.Module):
         return x * nn.sigmoid(se)
 
 
+def _sym_pad(kernel: int):
+    """torch-style symmetric padding. XLA "SAME" puts the extra pad of a
+    stride-2 conv on the high side; torch pads (k-1)//2 on BOTH sides, so
+    ported weights see shifted inputs under "SAME" — same shapes, wrong
+    values (the porter-parity blocker this replaces)."""
+    p = (kernel - 1) // 2
+    return [(p, p), (p, p)]
+
+
 class MBConv(nn.Module):
     expand: int
     features: int
@@ -103,6 +119,7 @@ class MBConv(nn.Module):
     kernel: int
     fused: bool = False
     dtype: Any = jnp.float32
+    bn_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -112,24 +129,39 @@ class MBConv(nn.Module):
         k = (self.kernel, self.kernel)
         s = (self.strides, self.strides)
 
+        def bn(y):
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9,
+                epsilon=self.bn_eps, dtype=self.dtype,
+            )(y)
+
+        if self.fused and self.expand == 1:
+            # torchvision FusedMBConv at expand=1: ONE k x k conv straight
+            # to the output width, with activation — no separate projection
+            x = nn.Conv(self.features, k, s, padding=_sym_pad(self.kernel),
+                        use_bias=False, dtype=self.dtype)(x)
+            x = nn.silu(bn(x))
+            if self.strides == 1 and inp == self.features:
+                x = x + residual
+            return x
+
         if self.fused:
-            x = nn.Conv(mid, k, s, padding="SAME", use_bias=False, dtype=self.dtype)(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
-            x = nn.silu(x)
+            x = nn.Conv(mid, k, s, padding=_sym_pad(self.kernel),
+                        use_bias=False, dtype=self.dtype)(x)
+            x = nn.silu(bn(x))
         else:
             if self.expand != 1:
                 x = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype)(x)
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
-                x = nn.silu(x)
+                x = nn.silu(bn(x))
             x = nn.Conv(
-                mid, k, s, padding="SAME", feature_group_count=mid, use_bias=False, dtype=self.dtype
+                mid, k, s, padding=_sym_pad(self.kernel),
+                feature_group_count=mid, use_bias=False, dtype=self.dtype,
             )(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
-            x = nn.silu(x)
+            x = nn.silu(bn(x))
             x = SqueezeExcite(inp, dtype=self.dtype)(x)
 
         x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
+        x = bn(x)
         if self.strides == 1 and inp == self.features:
             x = x + residual
         return x
@@ -159,13 +191,22 @@ class EfficientNet(nn.Module):
             for (e, c, n, s, k) in _B0_STAGES
         ]
 
+    @property
+    def bn_eps(self) -> float:
+        # torchvision builds the v2 variants with BatchNorm eps=1e-3 and the
+        # b-series with the default 1e-5; ported running stats need the same
+        return 1e-3 if self.variant in _V2_STAGES else 1e-5
+
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         stages = self._stages()
         x = x.astype(self.dtype)
-        stem = 24 if self.variant in _V2_STAGES else _round_channels(32, _B_SCALES[self.variant][0])
-        x = nn.Conv(stem, (3, 3), (2, 2), padding="SAME", use_bias=False, dtype=self.dtype, name="stem")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="stem_bn")(x)
+        # v2 stem width = first stage's input width (24 for v2_s/m, 32 for
+        # v2_l — the first v2 stage is expand-1 fused, so in == out)
+        stem = stages[0][1] if self.variant in _V2_STAGES else _round_channels(32, _B_SCALES[self.variant][0])
+        x = nn.Conv(stem, (3, 3), (2, 2), padding=_sym_pad(3), use_bias=False, dtype=self.dtype, name="stem")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=self.bn_eps, dtype=self.dtype, name="stem_bn")(x)
         x = nn.silu(x)
 
         for si, (e, c, n, s, k, fused) in enumerate(stages):
@@ -177,12 +218,14 @@ class EfficientNet(nn.Module):
                     kernel=k,
                     fused=fused,
                     dtype=self.dtype,
+                    bn_eps=self.bn_eps,
                     name=f"stage{si}_block{li}",
                 )(x, train=train)
 
         head = 1280 if self.variant in _V2_STAGES else _round_channels(1280, _B_SCALES[self.variant][0])
         x = nn.Conv(head, (1, 1), use_bias=False, dtype=self.dtype, name="head_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="head_bn")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=self.bn_eps, dtype=self.dtype, name="head_bn")(x)
         x = nn.silu(x)
         pooled = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
         logits = nn.Dense(self.num_classes, name="classifier")(pooled)

@@ -12,13 +12,13 @@ is a HARD error: silently ignoring the flag was round-2 weak #6, and a model
 the user believes is ImageNet-initialized but is actually random is the worst
 possible failure mode.
 
-Ported families: resnet, densenet, vit (each forward-parity-tested against
-torch 2.13 in tests/test_backbones.py). efficientnet deliberately has NO
-porter: torchvision's EfficientNet differs structurally from this
-implementation (symmetric (k-1)//2 paddings on stride-2 convs vs XLA SAME,
-single-conv FusedMBConv at expand=1 vs conv+project, BN eps 1e-3) — a
-name-mapped port would load without error and predict garbage; requesting
-pretrained efficientnet weights raises instead.
+Ported families: resnet, densenet, vit, efficientnet (each forward-parity-
+tested against torch 2.13 in tests/test_backbones.py). The efficientnet
+porter became possible once models/efficientnet.py matched torchvision's
+structure exactly (symmetric (k-1)//2 paddings instead of XLA SAME on
+stride-2 convs, single-conv FusedMBConv at expand=1, BN eps 1e-3 for v2) —
+before that a name-mapped port would have loaded without error and
+predicted garbage, which is why it used to hard-fail.
 
 Torch convs are OIHW and Linear weights are [out, in]; flax is HWIO /
 [in, out] — the porter transposes, maps BatchNorm running stats into the
@@ -233,10 +233,82 @@ def port_torch_vit(state_dict: Dict[str, Any], heads: int = None) -> Dict[str, A
     return {"params": params}
 
 
+def port_torch_efficientnet(state_dict: Dict[str, Any], variant: str) -> Dict[str, Any]:
+    """torchvision-EfficientNet state_dict -> flax variables for
+    models.efficientnet.EfficientNet.
+
+    Name contract (torchvision): ``features.0.{0,1}`` stem conv+bn,
+    ``features.{S+1}.{J}.block.*`` MBConv/FusedMBConv blocks whose inner
+    Sequential indices depend on (expand, fused):
+
+      MBConv  e>1:  block.0 expand CNA, block.1 dw CNA, block.2 SE
+                    (fc1/fc2), block.3 project CNA
+      MBConv  e=1:  block.0 dw, block.1 SE, block.2 project
+      Fused   e>1:  block.0 fused 3x3 CNA, block.1 project 1x1 CNA
+      Fused   e=1:  block.0 single 3x3 CNA (no projection)
+
+    then ``features.{last}.{0,1}`` head conv+bn and ``classifier.1`` (the
+    Linear after the Dropout). The per-variant stage layout comes from the
+    flax model's own spec so the Sequential indices decode deterministically.
+    """
+    from .efficientnet import EfficientNet
+
+    stages = EfficientNet(variant=variant)._stages()
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def bn(dst_path, src_prefix):
+        _set(params, dst_path + ("scale",), _as_numpy(state_dict[src_prefix + ".weight"]))
+        _set(params, dst_path + ("bias",), _as_numpy(state_dict[src_prefix + ".bias"]))
+        _set(stats, dst_path + ("mean",), _as_numpy(state_dict[src_prefix + ".running_mean"]))
+        _set(stats, dst_path + ("var",), _as_numpy(state_dict[src_prefix + ".running_var"]))
+
+    def conv(dst_path, src_key):
+        _set(params, dst_path + ("kernel",), _as_numpy(state_dict[src_key]).transpose(2, 3, 1, 0))
+
+    def conv_b(dst_path, src_prefix):  # conv with bias (the SE 1x1s)
+        conv(dst_path, src_prefix + ".weight")
+        _set(params, dst_path + ("bias",), _as_numpy(state_dict[src_prefix + ".bias"]))
+
+    conv(("stem",), "features.0.0.weight")
+    bn(("stem_bn",), "features.0.1")
+
+    for si, (e, c, n, s, k, fused) in enumerate(stages):
+        for li in range(n):
+            t = f"features.{si + 1}.{li}.block"
+            f = f"stage{si}_block{li}"
+            if fused and e == 1:
+                pairs, se = [("0", "0")], None
+            elif fused:
+                pairs, se = [("0", "0"), ("1", "1")], None
+            elif e == 1:
+                pairs, se = [("0", "0"), ("1", "2")], "1"
+            else:
+                pairs, se = [("0", "0"), ("1", "1"), ("2", "3")], "2"
+            for fi, ti in pairs:
+                conv((f, f"Conv_{fi}"), f"{t}.{ti}.0.weight")
+                bn((f, f"BatchNorm_{fi}"), f"{t}.{ti}.1")
+            if se is not None:
+                conv_b((f, "SqueezeExcite_0", "Conv_0"), f"{t}.{se}.fc1")
+                conv_b((f, "SqueezeExcite_0", "Conv_1"), f"{t}.{se}.fc2")
+
+    head_idx = len(stages) + 1
+    conv(("head_conv",), f"features.{head_idx}.0.weight")
+    bn(("head_bn",), f"features.{head_idx}.1")
+    if "classifier.1.weight" in state_dict:
+        _set(params, ("classifier", "kernel"),
+             _as_numpy(state_dict["classifier.1.weight"]).transpose(1, 0))
+        _set(params, ("classifier", "bias"), _as_numpy(state_dict["classifier.1.bias"]))
+
+    return {"params": params, "batch_stats": stats}
+
+
 _PORTERS = {
     "resnet": port_torch_resnet,
     "densenet": port_torch_densenet,
     "vit": port_torch_vit,
+    "efficientnet": port_torch_efficientnet,
 }
 
 
@@ -265,6 +337,8 @@ def port_pretrained_variables(model_name: str, source_path: str) -> Dict[str, An
 
         heads = VIT_SPECS[model_name][3] if model_name in VIT_SPECS else None
         return port_torch_vit(sd, heads=heads)
+    if fam == "efficientnet":
+        return port_torch_efficientnet(sd, model_name)
     return porter(sd)
 
 
