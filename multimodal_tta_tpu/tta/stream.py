@@ -29,12 +29,17 @@ is a new capability.
 
   Entropy-gated serving (``gate=True``): pay for adaptation only under
   drift. The controller starts in a FORWARD-ONLY serving mode (one plain
-  inference dispatch per batch — no backward, no optimizer, measured ~1.6×
-  the online-Tent serving rate on the flagship) and watches the batch
-  entropy that forward already yields. When it crosses the gate threshold
+  inference dispatch per batch — no backward, no optimizer; measured on the
+  flagship at 56.7 vol/s/chip = 1.26× the 45.0 online-Tent serving rate,
+  scripts/bench_gate.py, BASELINE.md gate table — the fused entropy probe
+  costs ~30 ms/batch over a bare forward) and watches the PLAIN volume-mean
+  entropy that forward already yields (the drift-MASS signal: shift creates
+  more uncertain voxels, measured 3.9× in-domain→shifted, while the
+  self-normalized per-voxel objective value is shift-insensitive — see
+  make_forward_predict_fn). When it crosses the gate threshold
   (absolute ``gate_threshold``, or ``gate_ratio ×`` the first batch's
-  entropy — ratio mode assumes the stream opens in-domain), the controller
-  escalates: the SAME batch is re-served through the adaptation path and
+  gate entropy — ratio mode assumes the stream opens in-domain), the
+  controller escalates: the SAME batch is re-served through the adaptation path and
   every later batch adapts. The in-scan masking gate (tta.early_stop)
   cannot save this compute — its scan length is static; the host-level
   mode switch is what actually skips the backward. De-escalation composes
@@ -199,26 +204,31 @@ class StreamTTAController:
                 pad = ((0, mult - b % mult),) + ((0, 0),) * (image.ndim - 1)
                 image = jnp.pad(image, pad)
         if self.gate and self.mode == "forward":
-            pred, ent = self._fp(self.state, image, int(n_valid))
+            # ent_obj: the adapt objective's entropy (anchors the collapse
+            # watchdog / early-stop floors). ent_gate: the PLAIN volume-mean
+            # entropy — the drift-mass detector the gate thresholds
+            # (measured 3.9x under shift where the focused objective's value
+            # moved 0.88x the WRONG way; tent.make_forward_predict_fn).
+            pred, ent_obj, ent_gate = self._fp(self.state, image, int(n_valid))
             if self._gate_ref is None:
-                self._gate_ref = ent
+                self._gate_ref = ent_gate
             if self._e0 is None:
-                # the gate forward's entropy IS the stream's first
+                # the gate forward's objective entropy IS the stream's first
                 # pre-adaptation entropy (same objective) — anchor the
                 # watchdog/early-stop floors exactly as the ungated path does
-                self._e0 = ent
+                self._e0 = ent_obj
             thresh = (
                 self.gate_threshold
                 if self.gate_threshold is not None
                 else self.gate_ratio * self._gate_ref
             )
-            if ent <= thresh:
+            if ent_gate <= thresh:
                 self._n_batches += 1
                 self.n_forward_batches += 1
                 return pred, {
-                    "entropy_first": ent,
-                    "entropy_final": ent,
-                    "gate_entropy": ent,
+                    "entropy_first": ent_obj,
+                    "entropy_final": ent_obj,
+                    "gate_entropy": ent_gate,
                     "mode": "forward",
                     "domain": domain,
                     "reanchored": False,
@@ -228,10 +238,11 @@ class StreamTTAController:
             # trigger batch pays one duplicate forward; serving quality never
             # depends on escalation latency)
             self.mode = "adapt"
-            self.escalation_log.append((self._n_batches, ent, float(thresh)))
+            self.escalation_log.append((self._n_batches, ent_gate, float(thresh)))
             self.logger.info(
                 f"[stream] gate escalated at batch {self._n_batches}: "
-                f"entropy {ent:.4g} > {float(thresh):.4g}"
+                f"gate entropy {ent_gate:.4g} > {float(thresh):.4g} "
+                f"(objective entropy {ent_obj:.4g})"
             )
 
         # anchor the adapter's in-scan early-stop floor at the STREAM's

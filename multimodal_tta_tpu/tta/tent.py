@@ -904,16 +904,32 @@ class TentAdapter:
         return call, state0
 
     def make_forward_predict_fn(self, source_state, threshold: float) -> Callable:
-        """forward_predict_fn(state, image, n_valid) -> (pred uint8, entropy).
+        """forward_predict_fn(state, image, n_valid) ->
+        (pred uint8, entropy_objective, entropy_gate).
 
         The gated-serving FAST PATH (tta.stream.gate): one plain inference
-        forward — normalization, prediction thresholding and the batch-mean
-        adaptation entropy fused into a single dispatch, with NO backward and
-        no state change. The entropy is computed with the SAME objective the
-        adapt step minimizes (sigmoid/softmax mode + entropy_focus), so gate
-        thresholds calibrated on it are directly comparable with adaptation
-        entropy traces. BatchNorm models run with their stored statistics
-        (train=False) — that IS the unadapted serving forward being gated.
+        forward — normalization, prediction thresholding and BOTH batch
+        entropies fused into a single dispatch, with NO backward and no
+        state change.
+
+        Two entropies because detection and optimization want different
+        statistics (measured, BASELINE.md gate section):
+
+        - ``entropy_objective`` — the SAME objective the adapt step
+          minimizes (sigmoid/softmax mode + entropy_focus), so the stream
+          controller's collapse-watchdog/early-stop floors anchored on it
+          are directly comparable with adaptation entropy traces.
+        - ``entropy_gate`` — the PLAIN volume-mean entropy (focus="all").
+          Domain shift creates MORE uncertain voxels; the un-normalized
+          mean scales with that mass (measured 3.9x in-domain -> shifted on
+          the stream fixture) while the self-normalized per-voxel average
+          is shift-insensitive or even anti-correlated (0.88x on the same
+          shift — a ratio gate watching it can never fire). The very
+          dilution that kills the plain objective's GRADIENTS makes its
+          VALUE the right drift detector.
+
+        BatchNorm models run with their stored statistics (train=False) —
+        that IS the unadapted serving forward being gated.
         """
         norm_fn = self._norm_fn
         sigmoid_mode = self.sigmoid_mode
@@ -931,15 +947,25 @@ class TentAdapter:
             logits = apply_fn(variables, image, train=False)
             b = image.shape[0]
             mask = (jnp.arange(b) < n_valid).astype(jnp.float32)
-            per = jax.vmap(
-                lambda lg: entropy_loss(lg[None], sigmoid=sigmoid_mode, focus=entropy_focus)
-            )(logits)
-            ent = jnp.sum(per * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+            def per_sample(lg):
+                obj = entropy_loss(lg[None], sigmoid=sigmoid_mode, focus=entropy_focus)
+                gate = (
+                    obj
+                    if entropy_focus == "all"
+                    else entropy_loss(lg[None], sigmoid=sigmoid_mode, focus="all")
+                )
+                return obj, gate
+
+            per_obj, per_gate = jax.vmap(per_sample)(logits)
+            denom = jnp.maximum(jnp.sum(mask), 1.0)
+            ent_obj = jnp.sum(per_obj * mask) / denom
+            ent_gate = jnp.sum(per_gate * mask) / denom
             if sigmoid_mode:
                 pred = (jax.nn.sigmoid(logits) >= thr).astype(jnp.uint8)
             else:
                 pred = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.uint8)
-            return pred, ent
+            return pred, ent_obj, ent_gate
 
         if self.mesh is not None:
             bsh = batch_sharding(self.mesh)
@@ -947,16 +973,16 @@ class TentAdapter:
             jit_fwd = jax.jit(
                 fwd,
                 in_shardings=(rep, rep, bsh, rep),
-                out_shardings=(bsh, rep),
+                out_shardings=(bsh, rep, rep),
             )
         else:
             jit_fwd = jax.jit(fwd)
 
         def forward_predict_fn(state, image, n_valid):
-            pred, ent = jit_fwd(
+            pred, ent_obj, ent_gate = jit_fwd(
                 state.params, state.batch_stats, image, jnp.int32(n_valid)
             )
-            return pred, float(ent)
+            return pred, float(ent_obj), float(ent_gate)
 
         return forward_predict_fn
 

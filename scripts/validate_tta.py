@@ -71,7 +71,7 @@ def ensure_fixture(root: str) -> str:
 
 
 def train_source(manifest: str, epochs: int, out_root: str, resume: str = None,
-                 model: str = "unet", eval_batch: int = 8):
+                 model: str = "unet", eval_batch: int = 8, seed: int = None):
     """Train the source model (default: the flagship UNet) on the source
     centers; returns (manager, cfg). With ``resume`` (a checkpoint path sans
     extension), training is skipped and the checkpoint is loaded instead —
@@ -110,6 +110,11 @@ def train_source(manifest: str, epochs: int, out_root: str, resume: str = None,
         f"task.save_dir={out_root}",
         f"task.run_name=tta_validate_{model}",
     ]
+    if seed is not None:
+        # seed-variance protocol (BASELINE.md N=3 tables): the seed drives
+        # model init AND the training batch schedule; the split stays pinned
+        # (dataset.split_seed is separate) so every seed sees the same data
+        overrides.append(f"task.seed={int(seed)}")
     return bring_up(overrides, resume=resume, tag=f"validate_tta_{model}")
 
 
@@ -198,6 +203,10 @@ def main() -> None:
                          "methods need headroom: memo n_views=4 steps=8 at "
                          "whole-volume batch 8 exceeds one v5e chip's HBM by "
                          "a measured 5.0G — use 4 there")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="task.seed for source training (seed-variance "
+                         "protocol); also suffixes the saved checkpoint "
+                         "(source_ckpt_seed<N>) so seeds don't clobber")
     ap.add_argument("--flip-axes", type=int, nargs="+", default=None,
                     help="enable flip-averaged TTA at evaluation "
                          "(evaluation.flip_tta, NDHWC spatial axes 1..3) "
@@ -216,7 +225,7 @@ def main() -> None:
     manifest = ensure_fixture(args.fixture)
     manager, cfg = train_source(manifest, args.epochs, os.path.join(args.fixture, "runs"),
                                 resume=args.resume, model=args.model,
-                                eval_batch=args.eval_batch)
+                                eval_batch=args.eval_batch, seed=args.seed)
     if args.flip_axes:
         from multimodal_tta_tpu.conf import ConfigNode
 
@@ -230,6 +239,8 @@ def main() -> None:
         ckpt = os.path.join(args.fixture, "runs",
                             "source_ckpt" if args.model == "unet"
                             else f"source_ckpt_{args.model}")
+        if args.seed is not None:
+            ckpt += f"_seed{args.seed}"
         save_checkpoint(ckpt, manager.state)
         print(f"[validate_tta] source checkpoint saved: {ckpt}", file=sys.stderr)
 

@@ -299,8 +299,9 @@ class TestEntropyGatedServing:
         )
 
     def _forward_entropy(self, state, x):
+        # gate entropy == objective entropy for the focus="all" test adapter
         fp = _adapter(state).make_forward_predict_fn(state, threshold=0.5)
-        return fp(state, jnp.asarray(x), x.shape[0])[1]
+        return fp(state, jnp.asarray(x), x.shape[0])[2]
 
     def test_forward_mode_never_touches_state(self):
         state = _state()
@@ -322,16 +323,52 @@ class TestEntropyGatedServing:
         np.testing.assert_array_equal(np.asarray(pred), np.asarray(expected))
 
     def test_gate_entropy_matches_adapt_trace_first_step(self):
-        """The fast path's entropy is the SAME objective the adapt step
-        reports as its pre-update entropy — thresholds transfer."""
+        """The fast path's OBJECTIVE entropy is the SAME objective the adapt
+        step reports as its pre-update entropy — floors transfer."""
         state = _state()
         x = _batch(0)
-        ent_fwd = self._forward_entropy(state, x)
+        fp = _adapter(state).make_forward_predict_fn(state, threshold=0.5)
+        _, ent_obj, _ = fp(state, jnp.asarray(x), x.shape[0])
         ctrl = StreamTTAController(
             _adapter(state), state, threshold=0.5, policy="continual"
         )
         _, info = ctrl.step(x, 2)
-        np.testing.assert_allclose(ent_fwd, info["entropy_first"], atol=1e-5)
+        np.testing.assert_allclose(ent_obj, info["entropy_first"], atol=1e-5)
+
+    def test_gate_watches_plain_mean_not_focused_objective(self):
+        """The drift detector is the PLAIN volume-mean entropy even when the
+        adaptation objective is focused: with focus=uncertain the two
+        entropies differ (self-normalized vs mass-scaled — the measured
+        3.9x-vs-0.88x asymmetry, BASELINE.md gate section), the controller
+        thresholds the gate one, and the watchdog anchor uses the objective
+        one."""
+        state = _state()
+        x = _batch(0)
+        cfg = ConfigNode(
+            {
+                "task": {"seed": 0},
+                "training": {"criterion": {"sigmoid": True}},
+                "tta": {"method": "tent", "steps": 1, "lr": 1e-3,
+                        "optimizer": "sgd", "momentum": 0.9, "update": "norm",
+                        "episodic": False, "entropy_focus": "uncertain"},
+            }
+        )
+        adapter = TentAdapter(cfg.tta, config=cfg, mesh=None)
+        fp = adapter.make_forward_predict_fn(state, threshold=0.5)
+        _, ent_obj, ent_gate = fp(state, jnp.asarray(x), x.shape[0])
+        # self-normalized objective is a per-uncertain-voxel average (large);
+        # the gate mean is diluted by confident voxels (small)
+        assert ent_obj != pytest.approx(ent_gate)
+        assert ent_gate < ent_obj
+        ctrl = StreamTTAController(
+            adapter, state, threshold=0.5, policy="continual", gate=True,
+            gate_threshold=1e9,
+        )
+        _, info = ctrl.step(x, 2)
+        assert info["gate_entropy"] == pytest.approx(ent_gate, abs=1e-6)
+        assert info["entropy_first"] == pytest.approx(ent_obj, abs=1e-6)
+        assert ctrl._gate_ref == pytest.approx(ent_gate, abs=1e-6)
+        assert ctrl._e0 == pytest.approx(ent_obj, abs=1e-6)
 
     def test_escalates_on_drift_and_adapts_same_batch(self):
         state = _state()
@@ -451,5 +488,5 @@ class TestEntropyGatedServing:
         import jax.numpy as _jnp
 
         pad = _jnp.pad(_jnp.asarray(x), ((0, 6), (0, 0), (0, 0), (0, 0), (0, 0)))
-        pred8, ent_8 = fp(state, pad, 2)
+        pred8, _, ent_8 = fp(state, pad, 2)
         np.testing.assert_allclose(ent_8, ent_1, atol=1e-5)
