@@ -44,6 +44,17 @@ class UNet3D(nn.Module):
     # and compute are untouched; SegTrainer consumes them when
     # training.deep_supervision is on.
     deep_supervision: int = 0
+    # Routed-expert bottleneck (models/moe.py; VERDICT r3 weak #5 asked for
+    # a MoE quality result above the transformer family's underfitting
+    # floor). moe_experts > 0 inserts a pre-norm residual MoE token-FFN at
+    # the bottleneck: tokens = the R/2^n spatial positions (512ch each), the
+    # semantic level where routing capacity plausibly pays. The same Switch
+    # aux loss sows to intermediates, so SegTrainer's model.moe_aux_weight
+    # applies unchanged; experts shard over the mesh `expert` axis.
+    moe_experts: int = 0
+    moe_k: int = 1
+    moe_capacity_factor: float = 1.25
+    moe_mlp_mult: float = 2.0  # expert hidden = mult * bottleneck channels
 
     @classmethod
     def from_config(cls, cfg, **overrides) -> "UNet3D":
@@ -59,6 +70,10 @@ class UNet3D(nn.Module):
             dropout=float(get_config(cfg, "dropout", 0.0)),
             spatial_dims=int(get_config(cfg, "spatial_dims", 3)),
             deep_supervision=int(get_config(cfg, "deep_supervision", 0)),
+            moe_experts=int(get_config(cfg, "moe_experts", 0)),
+            moe_k=int(get_config(cfg, "moe_k", 1)),
+            moe_capacity_factor=float(get_config(cfg, "moe_capacity_factor", 1.25)),
+            moe_mlp_mult=float(get_config(cfg, "moe_mlp_mult", 2.0)),
         )
         kw.update(overrides)
         if kw["spatial_dims"] != 3:
@@ -144,6 +159,25 @@ class UNet3D(nn.Module):
 
         # ---- bottleneck (stride 1, deepest channels) ----
         h = run(self._block(chs[-1], 1, "bottleneck"), h, n_levels)
+
+        if self.moe_experts > 0:
+            # routed-expert token FFN over the bottleneck's spatial positions
+            # (pre-norm residual, the transformer-block shape the MoE layer
+            # was built for — vit.py:148-160 is the sibling call site)
+            from .moe import MoEMlp
+
+            b, dd, hh, ww, cc = h.shape
+            tokens = h.reshape(b, dd * hh * ww, cc)
+            y = MoEMlp(
+                hidden=cc,
+                mlp_dim=int(self.moe_mlp_mult * cc),
+                num_experts=self.moe_experts,
+                k=self.moe_k,
+                capacity_factor=self.moe_capacity_factor,
+                dtype=self.dtype,
+                name="moe_bottleneck",
+            )(nn.LayerNorm(dtype=self.dtype, name="moe_ln")(tokens), train=train)
+            h = (tokens + y).reshape(b, dd, hh, ww, cc)
 
         # ---- decoder ----
         ds_levels = min(int(self.deep_supervision or 0), n_levels - 1)

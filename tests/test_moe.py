@@ -247,6 +247,30 @@ class TestTrainerIntegration:
         with pytest.raises(ValueError, match="moe_aux"):
             tr.run_step(batch)
 
+    def test_conv_flagship_moe_bottleneck(self):
+        """model.moe_experts on the conv UNet3D inserts the routed token-FFN
+        at the bottleneck: same output shape, params appear, aux loss sows,
+        and the dense sub-network initializes identically (the MoE block is
+        a pre-norm residual ADDITION — dense-vs-moe comparisons share init)."""
+        from multimodal_tta_tpu.models import UNet3D
+
+        kw = dict(in_channels=2, num_classes=1, channels=(4, 8, 16),
+                  strides=(2, 2), num_res_units=1)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 8, 2), jnp.float32)
+        dense = UNet3D(**kw)
+        moe = UNet3D(**kw, moe_experts=2)
+        vd = dense.init(jax.random.PRNGKey(0), x, train=True)
+        vm = moe.init(jax.random.PRNGKey(0), x, train=True)
+        assert "moe_bottleneck" in vm["params"] and "moe_ln" in vm["params"]
+        assert "moe_bottleneck" not in vd["params"]
+        y, inter = moe.apply(vm, x, train=True, mutable=["intermediates"])
+        assert y.shape == (2, 8, 8, 8, 1)
+        aux = collect_moe_aux(inter["intermediates"])
+        assert aux and np.isfinite(float(aux[0]))
+        # eval forward carries the MoE too (serving parity, unlike ds heads)
+        y_eval = moe.apply(vm, x, train=False)
+        assert np.isfinite(np.asarray(y_eval)).all()
+
     def test_vit_moe_forward(self):
         from multimodal_tta_tpu.models.vit import ViT
 
