@@ -37,6 +37,11 @@ def bring_up(
     from multimodal_tta_tpu.core import ExperimentManager
     from multimodal_tta_tpu.utils.logger import setup_logger
 
+    if resume:
+        # setup_run_dir chdirs into the run directory; a cwd-relative
+        # checkpoint path silently stops resolving there (measured failure
+        # mode twice in round 4) — pin it before the chdir
+        resume = os.path.abspath(str(resume))
     cfg = compose(os.path.join(REPO_ROOT, "configs"), "config", list(overrides))
     if mutate_cfg is not None:
         mutate_cfg(cfg)
