@@ -82,7 +82,7 @@ def ensure_fixture(root: str, shape=(144, 144, 48), per_center: int = 16) -> str
 
 
 def train_source(manifest: str, epochs: int, out_root: str, resume=None,
-                 shape=(144, 144, 48), eval_batch_size=8):
+                 shape=(144, 144, 48), eval_batch_size=8, seed=None):
     from _validate_common import bring_up
 
     x, y, z = shape
@@ -111,6 +111,10 @@ def train_source(manifest: str, epochs: int, out_root: str, resume=None,
         f"task.save_dir={out_root}",
         "task.run_name=stream_tta_validate",
     ]
+    if seed is not None:
+        # seed-variance protocol (BASELINE.md N=3 stream tables): seeds the
+        # init + batch schedule; the split stays pinned (split_seed)
+        overrides.append(f"task.seed={int(seed)}")
     return bring_up(overrides, resume=resume, tag="stream_tta")
 
 
@@ -260,6 +264,13 @@ def main() -> None:
                          "return; gated arms + no-adapt/always-adapt "
                          "controls instead of the full policy table")
     ap.add_argument("--gate-ratio", type=float, default=1.5)
+    ap.add_argument("--seed", type=int, default=None,
+                    help="task.seed for source training (seed-variance "
+                         "protocol); suffixes the saved checkpoint")
+    ap.add_argument("--defenses", action="store_true",
+                    help="compact defense-default arms only (collapse guard, "
+                         "restore p, fisher lambda=1) — the N>=3 "
+                         "seed-variance protocol")
     ap.add_argument("--scope", default=None,
                     help="tta.update_path_regex for a FOCUSED scoped-vs-full "
                          "comparison (layer-scoped Tent, BASELINE.md ladder): "
@@ -270,13 +281,15 @@ def main() -> None:
     manifest = ensure_fixture(args.fixture, shape=tuple(args.shape), per_center=args.per_center)
     manager, cfg = train_source(
         manifest, args.epochs, os.path.join(args.fixture, "runs"),
-        resume=args.resume, shape=tuple(args.shape),
+        resume=args.resume, shape=tuple(args.shape), seed=args.seed,
     )
     if not args.resume:
         # persist the source model so later sweeps (--resume) skip training
         from multimodal_tta_tpu.core.checkpoint import save_checkpoint
 
         ckpt = os.path.join(args.fixture, "runs", "source_ckpt")
+        if args.seed is not None:
+            ckpt += f"_seed{args.seed}"
         save_checkpoint(ckpt, manager.state)
         print(f"[stream_tta] source checkpoint saved: {ckpt}", file=sys.stderr)
 
@@ -334,6 +347,38 @@ def main() -> None:
         return
 
     emit(run_no_adapt(manager, cfg, device_transform))
+
+    if args.defenses:
+        # Compact defense-default arms for the N>=3 seed-variance protocol
+        # (BASELINE stream tables; VERDICT r3 weak #6): the arms whose
+        # outcomes gate shipped defaults — operating point, collapse +
+        # watchdog rescue, stochastic restore p=0.01/0.05, restore at the
+        # operating point (cost check), and the Fisher anchor at its
+        # shipped lambda=1.
+        op = dict(steps=args.steps, lr=args.lr)
+        cl = dict(steps=args.collapse_steps, lr=args.collapse_lr)
+        emit({**run_policy(manager, cfg, device_transform, policy="continual",
+                           guard=False, **op), "arm": "op_plain"})
+        emit({**run_policy(manager, cfg, device_transform, policy="continual",
+                           guard=True, **op), "arm": "op_guard"})
+        emit({**run_policy(manager, cfg, device_transform, policy="continual",
+                           guard=False, **cl), "arm": "collapse_plain"})
+        emit({**run_policy(manager, cfg, device_transform, policy="continual",
+                           guard=True, floor_ratio=0.5, **cl), "arm": "collapse_guard.5"})
+        emit({**run_policy(manager, cfg, device_transform, policy="continual",
+                           guard=False, restore_prob=0.01, **cl), "arm": "collapse_restore.01"})
+        emit({**run_policy(manager, cfg, device_transform, policy="continual",
+                           guard=False, restore_prob=0.05, **cl), "arm": "collapse_restore.05"})
+        emit({**run_policy(manager, cfg, device_transform, policy="continual",
+                           guard=True, restore_prob=0.01, **op), "arm": "op_restore.01"})
+        emit({**run_policy(manager, cfg, device_transform, policy="continual",
+                           guard=False, method="eata", rel_margin=0.7,
+                           node_extra={"fisher": {"enabled": True, "lambda": 1.0}},
+                           **op), "arm": "op_fisher_l1"})
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump({"rows": rows}, f, indent=2)
+        return
 
     if args.scope:
         # scoped-Tent drift question: does restricting the adapted set to
