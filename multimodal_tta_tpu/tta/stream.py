@@ -30,9 +30,9 @@ is a new capability.
   Entropy-gated serving (``gate=True``): pay for adaptation only under
   drift. The controller starts in a FORWARD-ONLY serving mode (one plain
   inference dispatch per batch — no backward, no optimizer; measured on the
-  flagship at 56.7 vol/s/chip = 1.26× the 45.0 online-Tent serving rate,
-  scripts/bench_gate.py, BASELINE.md gate table — the fused entropy probe
-  costs ~30 ms/batch over a bare forward) and watches the PLAIN volume-mean
+  flagship at 58.3 vol/s/chip = 1.29× the 45.4 online-Tent serving rate,
+  scripts/bench_gate.py, BASELINE.md gate table — the probe pays the fused
+  entropies plus ONE host sync for the gate branch) and watches the PLAIN volume-mean
   entropy that forward already yields (the drift-MASS signal: shift creates
   more uncertain voxels, measured 3.9× in-domain→shifted, while the
   self-normalized per-voxel objective value is shift-insensitive — see
@@ -137,9 +137,17 @@ class StreamTTAController:
         period = int(get_config(scfg, "periodic_reanchor_every", 0))
         # `gate.reprobe_every` is an alias: the gate's periodic re-probe IS
         # the periodic re-anchor (reanchor() drops the gate back to forward
-        # mode, so the next batch probes at source). Both set -> ambiguous.
+        # mode, so the next batch probes at source). Both set -> ambiguous;
+        # set with the gate OFF -> it would silently turn periodic source
+        # re-anchoring on for a supposedly-plain stream, so that's an error.
         reprobe = int(get_config(scfg, "gate.reprobe_every", 0))
         if reprobe:
+            if not bool(get_config(scfg, "gate.enabled", False)):
+                raise ValueError(
+                    "[stream] tta.stream.gate.reprobe_every is set but "
+                    "gate.enabled is false — use "
+                    "tta.stream.periodic_reanchor_every for ungated streams"
+                )
             if period and period != reprobe:
                 raise ValueError(
                     "[stream] tta.stream.periodic_reanchor_every and "

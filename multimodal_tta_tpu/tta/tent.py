@@ -965,7 +965,11 @@ class TentAdapter:
                 pred = (jax.nn.sigmoid(logits) >= thr).astype(jnp.uint8)
             else:
                 pred = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.uint8)
-            return pred, ent_obj, ent_gate
+            # both entropies in ONE [2] vector: the controller branches on
+            # them host-side every batch, and each separate scalar fetch is
+            # a full tunnel round trip (~60 ms measured — a second float()
+            # here cost the fast path 33 ms/batch before this was fused)
+            return pred, jnp.stack([ent_obj, ent_gate])
 
         if self.mesh is not None:
             bsh = batch_sharding(self.mesh)
@@ -973,16 +977,17 @@ class TentAdapter:
             jit_fwd = jax.jit(
                 fwd,
                 in_shardings=(rep, rep, bsh, rep),
-                out_shardings=(bsh, rep, rep),
+                out_shardings=(bsh, rep),
             )
         else:
             jit_fwd = jax.jit(fwd)
 
         def forward_predict_fn(state, image, n_valid):
-            pred, ent_obj, ent_gate = jit_fwd(
+            pred, ents = jit_fwd(
                 state.params, state.batch_stats, image, jnp.int32(n_valid)
             )
-            return pred, float(ent_obj), float(ent_gate)
+            e = jax.device_get(ents)  # one transfer for both scalars
+            return pred, float(e[0]), float(e[1])
 
         return forward_predict_fn
 

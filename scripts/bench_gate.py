@@ -23,7 +23,7 @@ stream protocol). Reference analogue: the per-domain serving machinery at
 reference src/evaluation/seg_eval.py:362-392 — the gate itself is new
 capability, so these rows are framework-native evidence.
 
-    python scripts/bench_gate.py [--iters 20] [--batch 8]
+    python scripts/bench_gate.py [--iters 20]   # batch via BENCH_BATCH
 """
 
 from __future__ import annotations
@@ -59,6 +59,18 @@ def main():
 
     import bench
     from multimodal_tta_tpu.utils.watchdog import DispatchWatchdog
+
+    # this bench measures the HEADLINE protocol only (flagship unet, tent
+    # steps=1): the gate adapter below is a hand-built twin of that config,
+    # so bench.py's env knobs would silently de-synchronize the two paths
+    conflicting = [k for k in ("BENCH_TTA_METHOD", "BENCH_TTA_STEPS",
+                               "BENCH_TTA_REGEX", "BENCH_MODEL") if os.environ.get(k)]
+    if conflicting:
+        raise SystemExit(
+            f"[bench_gate] {conflicting} set — this bench pins the headline "
+            "tent config; unset them (the adapt and gate paths must measure "
+            "the same configuration)"
+        )
 
     with DispatchWatchdog(float(os.environ.get("BENCH_GATE_DEADLINE", "900")),
                           what="gate-economics bench"):
@@ -116,7 +128,7 @@ def main():
 
         # 3) escalation batch: probe forward + same-batch adapt re-serve
         def escalate_once():
-            _, _ = fwd(carry["s"], x, n)
+            _, _, _ = fwd(carry["s"], x, n)  # (pred, ent_obj, ent_gate)
             carry["s"], pred = adapt_predict(carry["s"], x, n)
             return pred
 

@@ -70,6 +70,25 @@ def _decode_case(row: dict, channels, expect_dhwc):
     return img
 
 
+def _write_manifest(out_dir: str, rows) -> str:
+    """(Re)write predictions.csv atomically from the rows so far."""
+    manifest_out = os.path.join(out_dir, "predictions.csv")
+    if not rows:
+        return manifest_out
+    keys = []
+    for r in rows:
+        for k in r:
+            if k not in keys:
+                keys.append(k)
+    tmp = manifest_out + ".tmp"
+    with open(tmp, "w", newline="", encoding="utf-8") as f:
+        w = csv.DictWriter(f, fieldnames=keys)
+        w.writeheader()
+        w.writerows(rows)
+    os.replace(tmp, manifest_out)
+    return manifest_out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--artifact", required=True, help=".mttas file (export_serving.py)")
@@ -203,18 +222,12 @@ def main(argv=None):
                 + (f", entropy {ent_final:.4f}" if ent_final is not None else "")
             )
             watchdog.heartbeat()  # a completed batch is forward progress
+            # flush the provenance manifest after EVERY batch: if a later
+            # batch wedges the tunnel and the watchdog exits the process,
+            # the completed batches' status rows must already be on disk
+            # (masks without a manifest are unusable to the operator)
+            _write_manifest(args.out, rows)
 
-    manifest_out = os.path.join(args.out, "predictions.csv")
-    if rows:
-        keys = []
-        for r in rows:
-            for k in r:
-                if k not in keys:
-                    keys.append(k)
-        with open(manifest_out, "w", newline="", encoding="utf-8") as f:
-            w = csv.DictWriter(f, fieldnames=keys)
-            w.writeheader()
-            w.writerows(rows)
     logger.info(f"[serve] wrote {n_written} cases -> {args.out}")
     print(json.dumps({"cases": n_written, "out": args.out,
                       "mode": mode, "batch": batch}))

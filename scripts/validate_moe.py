@@ -141,7 +141,10 @@ def main() -> None:
         ]
 
     if args.dense_ref is not None:
-        rows = [{"variant": "dense", "epochs": args.epochs, "params_m": 96.4,
+        rows = [{"variant": "dense", "epochs": args.epochs,
+                 # params of the measured dense reference: UNETR 96.4M; the
+                 # conv flagship path reports its own count when trained
+                 "params_m": 96.4 if args.model == "unetr" else None,
                  "best_val_avg_dc": args.dense_ref,
                  "final_val_avg_dc": args.dense_ref,
                  "wall_s": None, "s_per_epoch": None}]

@@ -462,6 +462,13 @@ class TestEntropyGatedServing:
                 cfg({"periodic_reanchor_every": 3,
                      "gate": {"enabled": True, "reprobe_every": 5}}), threshold=0.4,
             )
+        # reprobe_every with the gate OFF would silently enable periodic
+        # re-anchoring on a supposedly-plain stream — config error
+        with pytest.raises(ValueError, match="gate.enabled"):
+            StreamTTAController.from_config(
+                _adapter(state), state,
+                cfg({"gate": {"enabled": False, "reprobe_every": 5}}), threshold=0.4,
+            )
 
     def test_evaluate_stream_reports_gate_economics(self):
         from multimodal_tta_tpu.tta.stream import evaluate_stream
