@@ -100,6 +100,13 @@ def main(argv=None):
             results[center] = metrics
             logger.info(f"[{center}] avg_dc={metrics.get('avg_dc'):.4f}")
             watchdog.heartbeat()
+            # flush after every center: a later-center wedge (watchdog exit)
+            # must not discard completed centers' metrics
+            partial = os.path.join(run_dir, "sweep_metrics.json")
+            tmp = partial + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump({"centers": results, "partial": True}, f, indent=2)
+            os.replace(tmp, partial)
     dt = time.perf_counter() - t0
 
     summary = {

@@ -48,6 +48,22 @@ def test_both_protocols_emit_expected_keys(model):
         assert r["batch"] == 1
 
 
+def test_bench_gate_refuses_conflicting_env_knobs():
+    """bench_gate measures the headline tent config through TWO paths (the
+    fused adapt fn from bench.py and a hand-built twin adapter for the gate
+    fast path); bench.py env knobs would de-synchronize them silently, so
+    the script must refuse to run with any set."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.update(JAX_PLATFORMS="cpu", BENCH_TTA_METHOD="cotta")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "scripts", "bench_gate.py")],
+        env=env, capture_output=True, text=True, timeout=180, cwd=REPO_ROOT,
+    )
+    assert out.returncode != 0
+    assert "BENCH_TTA_METHOD" in out.stderr and "headline" in out.stderr
+
+
 def test_transformer_family_forward_row():
     # online-Tent through the ViT backward is too slow for a CPU smoke;
     # the forward row proves construction + measurement for the family
