@@ -57,7 +57,9 @@ REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
-# stdout must carry exactly one JSON line; route framework logs to stderr
+# stdout carries only JSON artifact lines (early headline, then an extended
+# line that supersedes it — consumers parse the LAST parseable line); route
+# framework logs to stderr
 from multimodal_tta_tpu.utils.logger import setup_logger as _setup_logger  # noqa: E402
 import logging as _logging  # noqa: E402
 
@@ -82,8 +84,12 @@ CPU_CACHE = os.path.join(REPO_ROOT, ".bench_cpu_baseline.json")
 
 # D,H,W,C — HECKTOR21 working shape. BENCH_SHAPE="d,h,w,c" overrides for
 # fixture-scale smokes (tests/test_bench_model.py); the headline artifact is
-# only comparable at the default.
-SHAPE = tuple(int(v) for v in os.environ.get("BENCH_SHAPE", "48,144,144,2").split(","))
+# only comparable at the default, so a non-default shape is recorded in the
+# emitted JSON and the CPU-baseline ratio is suppressed (the cache is keyed
+# by batch only, not shape — a cross-shape ratio would be silently wrong).
+_DEFAULT_SHAPE = "48,144,144,2"
+SHAPE = tuple(int(v) for v in os.environ.get("BENCH_SHAPE", _DEFAULT_SHAPE).split(","))
+SHAPE_IS_DEFAULT = SHAPE == tuple(int(v) for v in _DEFAULT_SHAPE.split(","))
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 E2E_BATCHES = int(os.environ.get("BENCH_E2E_BATCHES", "4"))  # volumes = BATCHES*BATCH
 E2E_EPOCHS = int(os.environ.get("BENCH_E2E_EPOCHS", "2"))
@@ -510,18 +516,27 @@ def main() -> None:
             vps = measure_device(iters=10, warmup=3, workload="strict")
 
         base = base_online = None
-        try:
-            base = cpu_baseline("strict")
-            base_online = cpu_baseline("online")
-        except Exception as e:
-            print(f"[bench] cpu baseline failed: {e}", file=sys.stderr)
+        if not SHAPE_IS_DEFAULT:
+            print(
+                f"[bench] BENCH_SHAPE={SHAPE} != default {_DEFAULT_SHAPE}: "
+                "CPU-baseline cache is shape-incomparable — vs_baseline=null",
+                file=sys.stderr,
+            )
+        else:
+            try:
+                base = cpu_baseline("strict")
+                base_online = cpu_baseline("online")
+            except Exception as e:
+                print(f"[bench] cpu baseline failed: {e}", file=sys.stderr)
 
+        shape_tag = "x".join(str(v) for v in (SHAPE[0], SHAPE[1], SHAPE[2], SHAPE[3]))
         result = {
             "metric": (
-                "volumes adapted+segmented/sec/chip (HECKTOR21 48x144x144x2, "
+                f"volumes adapted+segmented/sec/chip (HECKTOR21 {shape_tag}, "
                 "UNet3D-32..512, on-device normalize, official online Tent: "
                 "continual, predictions from the 1-step adaptation forward)"
             ),
+            "shape": list(SHAPE),
             "value": round(vps_online, 3),
             "unit": "volumes/sec/chip",
             # paper-faithful plain Tent objective (code default); the shipped

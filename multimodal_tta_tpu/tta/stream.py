@@ -155,6 +155,26 @@ class StreamTTAController:
                     f"(got {period} vs {reprobe})"
                 )
             period = reprobe
+        gate_abs = get_config(scfg, "gate.threshold", None)
+        if gate_abs is not None and str(
+            get_config(config, "tta.entropy_focus", "all")
+        ) != "all":
+            import warnings
+
+            # scale change (round 4): the gate thresholds the PLAIN
+            # volume-mean entropy regardless of tta.entropy_focus — it is
+            # systematically LARGER than the focused objective entropy, so
+            # an absolute threshold calibrated against the focused scale
+            # may never (or always) escalate. Ratio mode self-calibrates.
+            warnings.warn(
+                "[stream] tta.stream.gate.threshold is absolute and is "
+                "compared against the PLAIN volume-mean entropy (not the "
+                f"entropy_focus={get_config(config, 'tta.entropy_focus')!r} "
+                "objective). Thresholds calibrated before the round-4 gate "
+                "signal change need re-calibration; gate.ratio mode "
+                "self-calibrates and is unaffected.",
+                stacklevel=2,
+            )
         return cls(
             adapter,
             source_state,

@@ -75,6 +75,12 @@ class DispatchWatchdog:
         Where the diagnosis is written (default ``sys.stderr``; kept as a
         parameter so benches that must keep stdout machine-parseable can
         route it explicitly).
+    first_deadline_s:
+        Deadline applied until the first ``heartbeat()`` — the first
+        protected section legitimately includes one-time work (jit compile,
+        dataset build) that steady-state sections do not, and must not be
+        misdiagnosed as a wedge at the steady deadline. Defaults to
+        ``deadline_s``.
     """
 
     def __init__(
@@ -85,8 +91,12 @@ class DispatchWatchdog:
         exit_code: int = 3,
         stream=None,
         poll_s: float | None = None,
+        first_deadline_s: float | None = None,
     ):
         self.deadline_s = float(deadline_s) if deadline_s else 0.0
+        self._current_deadline = (
+            float(first_deadline_s) if first_deadline_s else self.deadline_s
+        )
         self.what = what
         self.exit_code = exit_code
         self.stream = stream
@@ -102,7 +112,17 @@ class DispatchWatchdog:
         return self.deadline_s > 0
 
     def heartbeat(self) -> None:
-        """Record forward progress; resets the no-progress clock."""
+        """Record completed-unit progress; resets the no-progress clock and
+        ends the (possibly longer) first-deadline window."""
+        self._last = time.monotonic()
+        self._current_deadline = self.deadline_s
+
+    def touch(self) -> None:
+        """Reset the no-progress clock WITHOUT ending the first-deadline
+        window. For host-side progress (NIfTI decode, dataset build) inside
+        a protected section: it keeps legitimately slow host work from
+        counting against the device-dispatch deadline, while a still-pending
+        first device call keeps its compile-sized allowance."""
         self._last = time.monotonic()
 
     def __enter__(self) -> "DispatchWatchdog":
@@ -122,7 +142,7 @@ class DispatchWatchdog:
 
     def _run(self) -> None:
         while not self._done.wait(self._poll_s):
-            if time.monotonic() - self._last >= self.deadline_s:
+            if time.monotonic() - self._last >= self._current_deadline:
                 self.fired = True
                 self._fire()
                 return
@@ -132,5 +152,5 @@ class DispatchWatchdog:
             self.on_timeout()
             return
         stream = self.stream if self.stream is not None else sys.stderr
-        print(wedged_diagnosis(self.what, self.deadline_s), file=stream, flush=True)
+        print(wedged_diagnosis(self.what, self._current_deadline), file=stream, flush=True)
         os._exit(self.exit_code)

@@ -108,9 +108,16 @@ def main(argv=None):
     ap.add_argument("--limit", type=int, default=None, help="serve first N cases")
     ap.add_argument(
         "--dispatch-deadline", type=float, default=300.0,
-        help="seconds a single batch dispatch may take before the serving "
-             "loop declares the accelerator client wedged and exits with a "
-             "diagnosis (0 disables; first batch includes the jit compile)",
+        help="seconds a single batch DEVICE dispatch may take before the "
+             "serving loop declares the accelerator client wedged and exits "
+             "with a diagnosis (0 disables). Host-side decode does not "
+             "count (the clock resets after decode); the first batch gets "
+             "--first-dispatch-deadline to cover the jit compile",
+    )
+    ap.add_argument(
+        "--first-dispatch-deadline", type=float, default=None,
+        help="deadline for the first batch's dispatch (includes one-time "
+             "jit compile); default 3x --dispatch-deadline",
     )
     args = ap.parse_args(argv)
 
@@ -158,8 +165,15 @@ def main(argv=None):
     # hang. Progress is any completed batch (utils/watchdog.py).
     from multimodal_tta_tpu.utils.watchdog import DispatchWatchdog
 
+    first_deadline = (
+        args.first_dispatch_deadline
+        if args.first_dispatch_deadline is not None
+        else (args.dispatch_deadline * 3.0 if args.dispatch_deadline else 0.0)
+    )
     with DispatchWatchdog(
-        args.dispatch_deadline, what="serving batch dispatch (serve_artifact)"
+        args.dispatch_deadline,
+        what="serving batch dispatch (serve_artifact)",
+        first_deadline_s=first_deadline,
     ) as watchdog:
         for start in range(0, len(cases), batch):
             chunk = cases[start : start + batch]
@@ -174,6 +188,10 @@ def main(argv=None):
                     geoms.append((np.eye(4), tuple(reversed(dhw)), f"error:{type(e).__name__}:{e}"))
             while len(imgs) < batch:  # zero-pad the tail batch
                 imgs.append(np.zeros((*dhw, n_ch), np.float32))
+            # host decode done — reset the watchdog clock so only the device
+            # dispatch below counts against the deadline (touch keeps the
+            # first batch's compile-sized allowance)
+            watchdog.touch()
             image = jnp.asarray(np.stack(imgs))
 
             if mode == "adapt":

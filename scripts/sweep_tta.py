@@ -89,13 +89,21 @@ def main(argv=None):
     # wedged tunnel (stale suspended client) blocks evaluate() forever
     # with no exception — diagnose-and-exit instead of hanging the sweep
     with manager.mesh, DispatchWatchdog(
-        dispatch_deadline, what="per-center TTA evaluation (sweep_tta)"
+        dispatch_deadline,
+        what="per-center TTA evaluation (sweep_tta)",
+        # the first center bears the one-time jit compile on top of its
+        # evaluation — give it extra allowance instead of misdiagnosing a
+        # legitimately slow compile as a wedge
+        first_deadline_s=dispatch_deadline * 2.0 if dispatch_deadline else 0.0,
     ) as watchdog:
         for center in centers:
             logger.info(f"=== target_center={center} ===")
             ds = builder.build_dataset("test", target_center=center)
             loader = builder.get_loader("test", dataset=ds)
             n_total_cases += len(ds)
+            # dataset build is host-side progress; only the device-facing
+            # evaluation below should consume the dispatch deadline
+            watchdog.touch()
             metrics = engine.evaluate(manager.state, loader)
             results[center] = metrics
             logger.info(f"[{center}] avg_dc={metrics.get('avg_dc'):.4f}")

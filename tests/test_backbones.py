@@ -645,3 +645,44 @@ class TestPretrainedPort:
 
         _, logits = model.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), train=False)
         np.testing.assert_allclose(np.asarray(logits), want, rtol=5e-4, atol=5e-4)
+
+    @pytest.mark.skipif(
+        __import__("importlib.util", fromlist=["util"]).find_spec("torchvision") is None,
+        reason="torchvision not installed — replica test above covers this image",
+    )
+    @pytest.mark.parametrize("variant", ["efficientnet_b0", "efficientnet_v2_s"])
+    def test_efficientnet_port_parity_real_torchvision(self, tmp_path, variant):
+        """ADVICE r4: the replica test above hand-encodes torchvision's
+        structure/naming — when real torchvision is importable, verify the
+        replica assumption itself against the actual constructors
+        (random init, weights=None, no download)."""
+        import torch
+        import torchvision.models as tvm
+
+        from multimodal_tta_tpu.models.efficientnet import EfficientNet
+        from multimodal_tta_tpu.models.pretrained import (
+            apply_pretrained,
+            port_pretrained_variables,
+        )
+
+        torch.manual_seed(4)
+        tnet = getattr(tvm, variant)(weights=None)
+        tnet.train()
+        with torch.no_grad():
+            for _ in range(2):  # move BN running stats off init
+                tnet(torch.randn(2, 3, 64, 64))
+        tnet.eval()
+        x = torch.randn(2, 3, 64, 64)
+        with torch.no_grad():
+            want = tnet(x).numpy()
+
+        p = tmp_path / f"{variant}_tv.pt"
+        torch.save(tnet.state_dict(), p)
+
+        model = EfficientNet(variant=variant, num_classes=1000)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=True)
+        ported = port_pretrained_variables(variant, str(p))
+        variables = apply_pretrained(jax.device_get(variables), ported, variant)
+        _, logits = model.apply(
+            variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), train=False)
+        np.testing.assert_allclose(np.asarray(logits), want, rtol=5e-4, atol=5e-4)
