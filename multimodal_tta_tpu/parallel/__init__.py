@@ -13,7 +13,9 @@ from .mesh import (  # noqa: F401
     shard_batch,
 )
 from .pipeline import (  # noqa: F401
+    make_pipeline_train_step,
     pipeline_apply,
+    pipeline_value_and_grad,
     stack_layer_params,
     vit_forward_pipelined,
 )
@@ -26,6 +28,8 @@ __all__ = [
     "SPACE_AXIS",
     "STAGE_AXIS",
     "pipeline_apply",
+    "pipeline_value_and_grad",
+    "make_pipeline_train_step",
     "stack_layer_params",
     "vit_forward_pipelined",
     "batch_sharding",

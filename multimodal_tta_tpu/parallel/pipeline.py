@@ -19,6 +19,14 @@ TPU-first design — the whole pipeline is ONE jitted SPMD program:
     with the next tick's compute where the schedule allows.
   - Bubble fraction is the usual (S-1)/(n_micro + S - 1): callers pick
     n_micro >= S (more microbatches, smaller bubble, same math).
+  - TRAINING: the schedule is differentiable — ``lax.scan``'s transpose is
+    the reverse-tick scan and ``ppermute``'s transpose is the backward hop,
+    so jax.grad through ``pipeline_apply`` IS the GPipe backward (microbatch
+    grad accumulation happens inside the scan transpose; ``remat=True``
+    gives GPipe's stash-inputs/recompute-intermediates activation policy).
+    ``pipeline_value_and_grad`` / ``make_pipeline_train_step`` package this
+    with stage-sharded optimizer state; sequential-parity of loss AND grads
+    is asserted in tests/test_pipeline.py and the driver dryrun.
 
 Composability: the data/space axes stay available inside the shard_map (the
 microbatch dim is sharded over ``data``), so dp×pp meshes work unchanged.
@@ -34,6 +42,7 @@ from typing import Any, Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import optax
 from jax.sharding import PartitionSpec as P
 
 from .mesh import DATA_AXIS, STAGE_AXIS
@@ -60,6 +69,7 @@ def pipeline_apply(
     *,
     n_micro: int,
     data_axis: Optional[str] = DATA_AXIS,
+    remat: bool = False,
 ):
     """Run ``layer_fn`` over all stacked layers, pipelined over the mesh
     ``stage`` axis.
@@ -71,9 +81,21 @@ def pipeline_apply(
     x: [batch, ...] activations; batch must divide by n_micro (and the
         microbatch by the mesh data extent when a data axis is present).
     n_micro: number of microbatches (>= S for a useful bubble fraction).
+    remat: rematerialize each layer in the backward (GPipe's activation
+        policy — stash only the layer INPUTS per tick, re-run the forward
+        inside the transposed scan; bounds the activation memory of
+        training at ~1/L of full stash for the cost of one extra forward).
 
     Returns y with x's shape: identical math to applying layers 0..L-1
     sequentially.
+
+    Differentiable: the tick schedule is a ``lax.scan`` whose transpose is
+    the reverse-tick scan, and the inter-stage ``ppermute`` transposes to
+    the backward hop — so ``jax.grad`` through this function IS the GPipe
+    backward schedule (activation grads flow last-stage -> first over the
+    same ICI links, and each microbatch's parameter-grad contributions
+    accumulate across ticks inside the scan transpose). Parity with the
+    sequential stack is asserted in tests/test_pipeline.py.
     """
     S = int(mesh.shape.get(STAGE_AXIS, 1))
     if S <= 1:
@@ -114,6 +136,8 @@ def pipeline_apply(
             def body(h, p_layer):
                 return layer_fn(p_layer, h), None
 
+            if remat:
+                body = jax.checkpoint(body)
             return jax.lax.scan(body, h, p_stage)[0]
 
         fwd_perm = [(i, i + 1) for i in range(S - 1)]
@@ -147,6 +171,76 @@ def pipeline_apply(
 
     ys = run(stacked_params, xs)
     return ys.reshape(x.shape)
+
+
+def pipeline_value_and_grad(
+    mesh,
+    layer_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    stacked_params,
+    x: jnp.ndarray,
+    loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    *,
+    n_micro: int,
+    data_axis: Optional[str] = DATA_AXIS,
+    remat: bool = True,
+):
+    """Loss and parameter gradients of ``loss_fn(pipeline_apply(...))`` —
+    the GPipe training backward.
+
+    The grad arrives with the same leading-layer-axis layout as
+    ``stacked_params`` (sharded ``P(stage)`` under jit on a stage mesh), so
+    an optax update applies elementwise with no resharding. ``remat=True``
+    (default for training) uses the GPipe activation policy: per-layer
+    inputs are stashed, intermediates re-computed in the transposed scan.
+
+    Microbatch gradient accumulation is inherent: ``loss_fn`` sees the full
+    re-assembled batch, and the scan transpose sums each microbatch's
+    contribution into the per-layer grads — bit-matching the sequential
+    full-batch gradient (tests/test_pipeline.py::TestPipelineBackward).
+    """
+
+    def _loss(p, xx):
+        y = pipeline_apply(
+            mesh, layer_fn, p, xx, n_micro=n_micro, data_axis=data_axis,
+            remat=remat,
+        )
+        return loss_fn(y)
+
+    return jax.value_and_grad(_loss)(stacked_params, x)
+
+
+def make_pipeline_train_step(
+    mesh,
+    layer_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    loss_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    optimizer,
+    *,
+    n_micro: int,
+    data_axis: Optional[str] = DATA_AXIS,
+    remat: bool = True,
+):
+    """One jitted GPipe training step over the mesh ``stage`` axis.
+
+    loss_fn(y, target) -> scalar; optimizer: any optax GradientTransformation.
+    Returns ``step(stacked_params, opt_state, x, target) -> (params,
+    opt_state, loss)`` — compile once, drive the loop from the host. The
+    optimizer state lives layer-stacked like the params, so its leaves
+    shard ``P(stage)`` too (each stage updates only its own layers; no
+    parameter or moment traffic crosses stages — the only inter-stage bytes
+    are the activation/grad hops of the schedule itself).
+    """
+
+    @jax.jit
+    def step(stacked_params, opt_state, x, target):
+        loss, grads = pipeline_value_and_grad(
+            mesh, layer_fn, stacked_params, x,
+            lambda y: loss_fn(y, target),
+            n_micro=n_micro, data_axis=data_axis, remat=remat,
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, stacked_params)
+        return optax.apply_updates(stacked_params, updates), opt_state, loss
+
+    return step
 
 
 def vit_forward_pipelined(model, variables, x: jnp.ndarray, mesh, *, n_micro: int):
