@@ -60,14 +60,35 @@ SHIFTS = {
 
 STREAM_ORDER = ["CHUP", "CHMR"]
 
+# per-parameter identity (no-shift) values, for --shift-amp extrapolation
+_SHIFT_IDENTITY = {
+    "bias_field": 0.0, "ct_gain": 1.0, "ct_bias": 0.0,
+    "pt_gamma": 1.0, "pt_gain": 1.0, "noise": 0.0,
+}
 
-def ensure_fixture(root: str, shape=(144, 144, 48), per_center: int = 16) -> str:
+
+def scaled_shifts(amp: float) -> dict:
+    """Interpolate/extrapolate every shift parameter away from identity by
+    ``amp`` (1.0 = the standard SHIFTS). The gate quality protocol needs a
+    STRONGLY-adaptable stream (always_adapt - no_adapt >= 0.05, VERDICT r4
+    weak #2) — amp > 1 deepens the no-adapt hole so the gate's quality cost
+    is measurable above the +-0.05 seed noise."""
+    return {
+        c: {k: _SHIFT_IDENTITY[k] + amp * (v - _SHIFT_IDENTITY[k])
+            for k, v in d.items()}
+        for c, d in SHIFTS.items()
+    }
+
+
+def ensure_fixture(root: str, shape=(144, 144, 48), per_center: int = 16,
+                   shift_amp: float = 1.0) -> str:
     manifest = os.path.join(root, "manifest.csv")
     if os.path.exists(manifest):
         return manifest
     from multimodal_tta_tpu.data.synthetic import make_hecktor_fixture
 
-    print("[stream_tta] generating two-shift fixture ...", file=sys.stderr)
+    print(f"[stream_tta] generating two-shift fixture (amp={shift_amp}) ...",
+          file=sys.stderr)
     small = min(shape) < 48
     return make_hecktor_fixture(
         root,
@@ -77,7 +98,7 @@ def ensure_fixture(root: str, shape=(144, 144, 48), per_center: int = 16) -> str
         n_lesions=(1, 3) if not small else (1, 1),
         radius_range=(4.0, 9.0) if not small else (3.0, 4.0),
         lesion_contrast=(150.0, 4.0),  # low contrast: non-degenerate entropy
-        domain_shift=SHIFTS,
+        domain_shift=scaled_shifts(shift_amp),
     )
 
 
@@ -257,6 +278,10 @@ def main() -> None:
     ap.add_argument("--shape", type=int, nargs=3, default=[144, 144, 48],
                     help="fixture volume shape X Y Z (small values = smoke test)")
     ap.add_argument("--per-center", type=int, default=16)
+    ap.add_argument("--shift-amp", type=float, default=1.0,
+                    help="scale the domain-shift strength away from identity "
+                         "(fixture-generation time only; an existing "
+                         "manifest wins)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--gate", action="store_true",
                     help="entropy-gated serving protocol (tta.stream.gate): "
@@ -278,7 +303,9 @@ def main() -> None:
                          "collapse regime} instead of the full policy table")
     args = ap.parse_args()
 
-    manifest = ensure_fixture(args.fixture, shape=tuple(args.shape), per_center=args.per_center)
+    manifest = ensure_fixture(args.fixture, shape=tuple(args.shape),
+                              per_center=args.per_center,
+                              shift_amp=args.shift_amp)
     manager, cfg = train_source(
         manifest, args.epochs, os.path.join(args.fixture, "runs"),
         resume=args.resume, shape=tuple(args.shape), seed=args.seed,

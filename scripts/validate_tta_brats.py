@@ -58,7 +58,7 @@ def ensure_fixture(root: str, shape=(96, 96, 64), n_train=24, n_test=8,
     )
 
 
-def train_source(csvs, epochs: int, out_root: str, shape, extra=()):
+def train_source(csvs, epochs: int, out_root: str, shape, extra=(), resume=None):
     from _validate_common import bring_up
 
     x, y, z = (int(s) for s in shape)
@@ -96,7 +96,7 @@ def train_source(csvs, epochs: int, out_root: str, shape, extra=()):
             "train": ["train"], "val": ["test"], "test": ["test"]}
 
     return bring_up(overrides, mutate_cfg=point_sources_at_fixture,
-                    tag="validate_tta_brats")
+                    resume=resume, tag="validate_tta_brats")
 
 
 class DropModalityLoader:
@@ -145,13 +145,32 @@ def main() -> None:
     ap.add_argument("--train-dropout", action="store_true",
                     help="also train a model WITH train-time modality dropout "
                     "and evaluate it under the missing modality")
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint path (sans extension) — skip training")
+    ap.add_argument("--window", action="store_true",
+                    help="also run WINDOWED-adaptation arms (tta.window "
+                         "random-ROI objective + full-volume post predict) "
+                         "next to each whole-volume Tent arm — the "
+                         "ROI-adapt protocol applied to the HBM-walled "
+                         "midfusion workload (VERDICT r4 weak #6)")
+    ap.add_argument("--window-roi", type=int, nargs=3, default=[32, 48, 48],
+                    help="tta.window.roi_size (D H W)")
+    ap.add_argument("--windows-per-step", type=int, default=4)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     csvs = ensure_fixture(args.fixture, shape=args.shape, n_train=args.n_train,
                           n_test=args.n_test, radius_range=args.radius_range)
     manager, cfg = train_source(csvs, args.epochs, os.path.join(args.fixture, "runs"),
-                                args.shape, args.extra)
+                                args.shape, args.extra, resume=args.resume)
+    if not args.resume:
+        # persist the source model so later sweeps (--resume) skip training
+        from multimodal_tta_tpu.core.checkpoint import save_checkpoint
+
+        ckpt = os.path.join(args.fixture, "runs", "source_ckpt_midfusion")
+        save_checkpoint(ckpt, manager.state)
+        print(f"[validate_tta_brats] source checkpoint saved: {ckpt}",
+              file=sys.stderr)
 
     from _validate_common import device_transform_of
 
@@ -180,13 +199,24 @@ def main() -> None:
             for lr in args.lrs:
                 base = dict(steps=steps, lr=lr, optimizer="sgd", momentum=0.9,
                             update="norm", episodic=True, entropy_focus=focus)
-                for name, tta in (
+                arms = [
                     ("tent", {"method": "tent",
                               "modality_dropout": {"enabled": False}, **base}),
                     ("tent_mod_dropout", {"method": "tent",
                                           "modality_dropout": {"enabled": True, "prob": 0.25},
                                           **base}),
-                ):
+                ]
+                if args.window:
+                    d, h, w = args.window_roi
+                    arms.append(
+                        ("tent_window", {
+                            "method": "tent", "predict": "post",
+                            "modality_dropout": {"enabled": False},
+                            "window": {"enabled": True,
+                                       "roi_size": [d, h, w],
+                                       "windows_per_step": args.windows_per_step},
+                            **base}))
+                for name, tta in arms:
                     m = eval_mode(manager, cfg, shifted, device_transform, tta)
                     row = {"mode": name, "focus": focus, "steps": steps, "lr": lr,
                            **report(m)}
