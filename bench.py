@@ -304,6 +304,28 @@ def ensure_e2e_fixture() -> str:
     return manifest
 
 
+def measure_h2d(mb: int = 32, iters: int = 3) -> float:
+    """Host->device transfer bandwidth of this session's tunnel (MB/s),
+    result-fenced (a device-side sum of the transferred buffer gates the
+    clock — device_put alone returns before the bytes land)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    @jax.jit
+    def touch(a):
+        return a.astype(jnp.uint32).sum()
+
+    buf = np.random.RandomState(0).randint(
+        0, 255, size=(mb * 1024 * 1024,), dtype=np.uint8)
+    int(touch(jax.device_put(buf)))  # warm the path (alloc + compile)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        buf[i] ^= 1  # defeat any host-side transfer caching of the buffer
+        int(touch(jax.device_put(buf)))
+    return mb * iters / (time.perf_counter() - t0)
+
+
 def measure_e2e(epochs: int = E2E_EPOCHS, decode_cache_dir: str = None) -> float:
     """Volumes/sec through the full serving pipeline: NIfTI decode (threaded
     libdeflate, or the persistent pre-decoded cache when ``decode_cache_dir``
@@ -598,12 +620,18 @@ def main() -> None:
                 print(f"[bench] unet_ws config failed: {e}", file=sys.stderr)
             finally:
                 os.environ.pop("BENCH_MODEL", None)
-        e2e = e2e_cached = None
+        e2e = e2e_cached = h2d_mbps = None
         if os.environ.get("BENCH_E2E", "1") != "0":
             try:
                 with DispatchWatchdog(
                     config_budget, what="e2e configs", on_timeout=_extras_timeout("e2e configs")
                 ) as wd:
+                    # same-session H2D probe: the tunnel bandwidth drifts 3x
+                    # between sessions (measured 10-35 MB/s same week), so an
+                    # e2e number is only interpretable WITH its tunnel-du-jour
+                    # in the artifact (VERDICT r4 next #7)
+                    h2d_mbps = measure_h2d()
+                    wd.heartbeat()
                     e2e = measure_e2e()
                     wd.heartbeat()
                     # production sweep config: persistent pre-decoded cache
@@ -620,6 +648,8 @@ def main() -> None:
         result["unet_ws_online_volumes_per_sec_per_chip"] = round(vps_ws, 3)
     if vps_scoped is not None:
         result["tail_scoped_online_volumes_per_sec_per_chip"] = round(vps_scoped, 3)
+    if h2d_mbps is not None:
+        result["h2d_probe_mbps"] = round(h2d_mbps, 1)
     if e2e is not None:
         result["e2e_volumes_per_sec_per_chip"] = round(e2e, 3)
         result["e2e_fraction_of_device"] = round(e2e / vps, 3)
