@@ -61,19 +61,19 @@ def _stats_kernel(x_ref, sum_ref, sq_ref):
 
     @pl.when(first)
     def _init():
-        sum_ref[:, :] = s
-        sq_ref[:, :] = q
+        sum_ref[0] = s
+        sq_ref[0] = q
 
     @pl.when(jnp.logical_not(first))
     def _acc():
-        sum_ref[:, :] += s
-        sq_ref[:, :] += q
+        sum_ref[0] += s
+        sq_ref[0] += q
 
 
 def _norm_kernel(x_ref, mu_ref, rstd_ref, g_ref, b_ref, y_ref, *, act):
     xb = x_ref[0, 0].astype(jnp.float32)           # [hblk, W, C]
-    mu = mu_ref[0, :][None, None, :]
-    rs = rstd_ref[0, :][None, None, :]
+    mu = mu_ref[0, 0, :][None, None, :]
+    rs = rstd_ref[0, 0, :][None, None, :]
     g = g_ref[0, :][None, None, :]
     b = b_ref[0, :][None, None, :]
     y = (xb - mu) * rs * g + b
@@ -105,7 +105,10 @@ def fused_instance_norm(
     x_spec = pl.BlockSpec(
         (1, 1, hblk, W, C), lambda b, d, h: (b, d, h, 0, 0),
         memory_space=pltpu.VMEM)
-    bc_spec = pl.BlockSpec((1, C), lambda b, d, h: (b, 0),
+    # [B, 1, C] stats layout: Mosaic requires the last two block dims to be
+    # divisible by (8, 128) or EQUAL to the array dims — (1, 1, C) blocks on
+    # a (B, 1, C) array satisfy the equality form for any B and small C
+    bc_spec = pl.BlockSpec((1, 1, C), lambda b, d, h: (b, 0, 0),
                            memory_space=pltpu.VMEM)
 
     sums, sqs = pl.pallas_call(
@@ -114,14 +117,14 @@ def fused_instance_norm(
         in_specs=[x_spec],
         out_specs=[bc_spec, bc_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((B, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
         ],
         interpret=interpret,
     )(x)
 
     n = D * H * W
-    mean = sums / n
+    mean = sums / n                       # [B, 1, C]
     var = sqs / n - mean * mean
     rstd = jax.lax.rsqrt(var + eps)
 

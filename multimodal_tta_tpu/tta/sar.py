@@ -4,17 +4,21 @@ Niu et al., "Towards Stable Test-Time Adaptation in Dynamic Wild World"
 (ICLR 2023 — public method), built on the Tent engine's partitioned-autodiff
 machinery. Three mechanisms, all inside one jit:
 
-  1. **Reliable-sample filter** — samples whose self-normalized prediction
-     entropy exceeds ``margin_ratio * H_max`` are excluded from the
-     objective (SAR's hard 1{E(x) < E0} filter; the EATA-style gate in
+  1. **Reliable-sample filter** — samples whose SELF-NORMALIZED prediction
+     entropy (the scale where dense-segmentation models are discriminable:
+     ~0.3-0.5 healthy, ->0 collapsed; the plain volume mean is background-
+     diluted to ~1e-3) exceeds ``margin_ratio * H_max`` are excluded from
+     the objective (SAR's hard 1{E(x) < E0} filter; the EATA-style gate in
      ``tta.reliability`` uses the same score but an exponential weighting).
+     The score scale is independent of the objective's ``entropy_focus``.
   2. **Sharpness-aware step** — per inner step: compute the entropy
      gradient g at θ, climb to the worst-case point θ + ρ·g/‖g‖ inside the
      ρ-ball, and update with the gradient taken THERE. Flat entropy minima
      generalize across the stream; sharp ones are where collapse lives.
      Both gradients touch only the trainable (norm-affine) subtree.
-  3. **Recovery reset** — an EMA of the step entropy tracks where the
-     objective is settling; if it falls below ``reset_floor_ratio * H_max``
+  3. **Recovery reset** — an EMA of the step's self-normalized monitor
+     entropy tracks where the model is settling; if it falls below
+     ``reset_floor_ratio * H_max``
      the model has found a degenerate always-one-class minimum, and the
      trainable subtree snaps back to SOURCE (the paper's model-recovery
      scheme). The EMA is carried ACROSS batches in continual mode, so the
@@ -163,21 +167,36 @@ class SarAdapter(TentAdapter):
                 return state.apply_fn(variables, x, train=False), bs
 
             def loss_of(trainable, bs, x):
-                """Reliable-filtered self-normalized entropy. The filter is
+                """Reliable-filtered entropy objective. The filter is
                 recomputed at every evaluation point (so the ascent point
-                re-filters, per the paper's second-time filtering)."""
+                re-filters, per the paper's second-time filtering).
+
+                SCALES (round-5 fix, measured on the scanner-shift fixture):
+                the filter score and the recovery monitor are ALWAYS the
+                per-sample SELF-NORMALIZED entropy (focus="uncertain" —
+                healthy models sit at ~0.3-0.5 on this scale, collapse
+                drives it toward 0), matching the EATA reliability gate
+                (tent.reliability_weights). Scoring by the OBJECTIVE's
+                entropy conflated scales: the plain volume-mean (~1e-3,
+                background-diluted) sat permanently below the 0.2*H_max
+                recovery floor (perpetual resets pinned the model to
+                source), while the focused objective (~0.38) sat above the
+                0.4*H_max filter margin (every sample excluded) — either
+                way SAR was exactly inert in dense segmentation. The
+                OBJECTIVE keeps the configured ``entropy_focus``."""
                 logits, new_bs = forward(trainable, bs, x)
                 per_sample = jax.vmap(
                     lambda lg: entropy_loss(lg[None], sigmoid=sigmoid_mode, focus=entropy_focus)
                 )(logits)
-                reliable = (
-                    jax.lax.stop_gradient(per_sample) < margin_ratio * h_max_of(logits)
-                ).astype(jnp.float32)
+                score = jax.lax.stop_gradient(jax.vmap(
+                    lambda lg: entropy_loss(lg[None], sigmoid=sigmoid_mode, focus="uncertain")
+                )(logits))
+                reliable = (score < margin_ratio * h_max_of(logits)).astype(jnp.float32)
                 loss = jnp.sum(per_sample * reliable * mask) / denom
-                # the recovery EMA tracks the UNFILTERED monitor entropy —
+                # the recovery EMA tracks the UNFILTERED monitor score —
                 # a collapsed model is confident everywhere, which the
                 # reliable filter would hide from a filtered trace
-                mon = jax.lax.stop_gradient(jnp.sum(per_sample * mask) / denom)
+                mon = jnp.sum(score * mask) / denom
                 return loss, (new_bs, logits, mon)
 
             def predict(logits):

@@ -1541,3 +1541,88 @@ class TestMemo:
             jax.tree_util.tree_leaves(s_one.params),
         ):
             assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestSarScales:
+    """Round-5 regression: SAR's reliable filter and recovery monitor score
+    on the SELF-NORMALIZED entropy scale regardless of the objective's
+    ``entropy_focus`` (tta/sar.py loss_of). Scoring by the objective's own
+    entropy made SAR exactly inert in dense segmentation: the plain
+    volume-mean objective (~1e-3 on converged models) sat permanently below
+    the 0.2*H_max recovery floor (perpetual source resets), and the focused
+    objective (~0.38) sat above the 0.4*H_max filter margin (every sample
+    excluded)."""
+
+    def test_recovery_floor_on_self_normalized_scale(self):
+        import jax.numpy as jnp
+
+        from multimodal_tta_tpu.ops.losses import entropy_loss
+        from multimodal_tta_tpu.tta import SarAdapter
+
+        state = make_state()
+        # make predictions confident-but-heterogeneous (the converged-model
+        # regime): plain mean entropy << self-normalized entropy
+        params = jax.device_get(state.params)
+        params["head"]["bias"] = params["head"]["bias"] + 4.0
+        state = state.replace(params=jax.tree_util.tree_map(jnp.asarray, params))
+
+        x = jnp.asarray(np.random.RandomState(7).randn(2, 16, 16, 16, 2), jnp.float32)
+        logits = state.apply_fn({"params": state.params}, x, train=False)
+        h_max = float(jnp.log(2.0))
+        plain = float(entropy_loss(logits, sigmoid=True, focus="all")) / h_max
+        sn = float(entropy_loss(logits, sigmoid=True, focus="uncertain")) / h_max
+        # precondition: the two scales are actually separated here
+        assert sn - plain > 0.02, (plain, sn)
+
+        floor = (plain + sn) / 2.0
+        cfg_tta = tent_cfg(method="sar", episodic=False, steps=2, lr=1e-2,
+                           entropy_focus="all", margin_ratio=1.0,
+                           reset_floor_ratio=floor)
+        cfg = full_cfg(tta=cfg_tta, sigmoid=True)
+        adapter = SarAdapter(cfg.tta, config=cfg, mesh=None)
+        out = adapter.make_adapt_fn(state)(state, x, 2)
+        moved = sum(
+            float(jnp.sum(jnp.abs(a - b)))
+            for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                            jax.tree_util.tree_leaves(out.params))
+        )
+        # old (objective-scale) monitor: plain < floor -> every step snapped
+        # back to source -> moved == 0. Fixed monitor: sn > floor -> free.
+        assert moved > 1e-6
+
+    def test_filter_margin_on_self_normalized_scale(self):
+        """A margin BETWEEN the plain and self-normalized scales must
+        exclude samples (score > margin) even when the objective is plain —
+        i.e. the filter decision follows the self-normalized score, not the
+        objective value."""
+        import jax.numpy as jnp
+
+        from multimodal_tta_tpu.ops.losses import entropy_loss
+        from multimodal_tta_tpu.tta import SarAdapter
+
+        state = make_state()
+        params = jax.device_get(state.params)
+        params["head"]["bias"] = params["head"]["bias"] + 4.0
+        state = state.replace(params=jax.tree_util.tree_map(jnp.asarray, params))
+        x = jnp.asarray(np.random.RandomState(8).randn(2, 16, 16, 16, 2), jnp.float32)
+        logits = state.apply_fn({"params": state.params}, x, train=False)
+        h_max = float(jnp.log(2.0))
+        plain = float(entropy_loss(logits, sigmoid=True, focus="all")) / h_max
+        sn = float(entropy_loss(logits, sigmoid=True, focus="uncertain")) / h_max
+        assert sn - plain > 0.02
+
+        margin = (plain + sn) / 2.0
+        cfg_tta = tent_cfg(method="sar", episodic=False, steps=2, lr=0.5,
+                           entropy_focus="all", margin_ratio=margin,
+                           reset_floor_ratio=0.0)
+        cfg = full_cfg(tta=cfg_tta, sigmoid=True)
+        adapter = SarAdapter(cfg.tta, config=cfg, mesh=None)
+        out = adapter.make_adapt_fn(state)(state, x, 2)
+        moved = sum(
+            float(jnp.sum(jnp.abs(a - b)))
+            for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                            jax.tree_util.tree_leaves(out.params))
+        )
+        # both samples score sn > margin -> filtered out -> zero objective
+        # (under objective-scale scoring, plain < margin would have passed)
+        assert moved == 0.0
