@@ -402,6 +402,14 @@ def main() -> None:
                            guard=False, method="eata", rel_margin=0.7,
                            node_extra={"fisher": {"enabled": True, "lambda": 1.0}},
                            **op), "arm": "op_fisher_l1"})
+        # SAR in the collapse regime: its in-scan recovery reset is the
+        # anti-collapse mechanism the method exists for (quality at the
+        # operating point measured Tent-equivalent at 2x grad cost —
+        # BASELINE SAR section); margin 0.7 passes the ~0.55-scoring stream
+        emit({**run_policy(manager, cfg, device_transform, policy="continual",
+                           guard=False, method="sar",
+                           node_extra={"margin_ratio": 0.7}, **cl),
+              "arm": "collapse_sar"})
         if args.out:
             with open(args.out, "w") as f:
                 json.dump({"rows": rows}, f, indent=2)
