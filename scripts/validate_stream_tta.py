@@ -302,6 +302,11 @@ def main() -> None:
                          "runs no-adapt + {full, scoped} x {operating point, "
                          "collapse regime} instead of the full policy table")
     args = ap.parse_args()
+    if args.out:
+        # pin before bring_up's run-dir chdir (same class of bug as the r4
+        # resume-path pin): a relative --out must not crash the final write
+        # after an hours-long sweep
+        args.out = os.path.abspath(args.out)
 
     manifest = ensure_fixture(args.fixture, shape=tuple(args.shape),
                               per_center=args.per_center,

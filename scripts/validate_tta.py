@@ -214,6 +214,11 @@ def main() -> None:
                          "2^k mirror ensemble buys, alone (no_adapt row) "
                          "and composed with adaptation")
     args = ap.parse_args()
+    if args.out:
+        # pin before bring_up's run-dir chdir (same class of bug as the r4
+        # resume-path pin): a relative --out must not crash the final write
+        # after an hours-long sweep
+        args.out = os.path.abspath(args.out)
 
     import yaml
 

@@ -158,6 +158,11 @@ def main() -> None:
     ap.add_argument("--windows-per-step", type=int, default=4)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.out:
+        # pin before bring_up's run-dir chdir (same class of bug as the r4
+        # resume-path pin): a relative --out must not crash the final write
+        # after an hours-long sweep
+        args.out = os.path.abspath(args.out)
 
     csvs = ensure_fixture(args.fixture, shape=args.shape, n_train=args.n_train,
                           n_test=args.n_test, radius_range=args.radius_range)
