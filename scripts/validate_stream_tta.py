@@ -148,15 +148,22 @@ def stream_batches(manager):
             yield center, batch
 
 
-def gated_stream(manager, suffix: bool = False):
+def gated_stream(manager, suffix: bool = False, chup_epochs: int = 1):
     """The serving shape the entropy gate exists for: the stream OPENS on the
     source distribution (val batches of the source centers), drifts to the
     shifted CHUP center, and (optionally) returns in-domain — so the right
-    behavior is forward-only -> escalate at the boundary -> re-probe back."""
+    behavior is forward-only -> escalate at the boundary -> re-probe back.
+
+    chup_epochs repeats the drifted segment (a SUSTAINED drift period):
+    with one 8-case batch of CHUP, continual adaptation gets exactly one
+    update before the stream ends and always_adapt cannot separate from
+    no_adapt (measured +0.008 — r5 pilot); the gate's quality question
+    needs a drift long enough for adaptation to matter."""
     for batch in manager._builder.get_loader("val"):
         yield "SRC", batch
-    for batch in manager._builder.get_loader("test", target_center="CHUP"):
-        yield "CHUP", batch
+    for _ in range(int(chup_epochs)):
+        for batch in manager._builder.get_loader("test", target_center="CHUP"):
+            yield "CHUP", batch
     if suffix:
         for batch in manager._builder.get_loader("val"):
             yield "SRC_return", batch
@@ -289,6 +296,9 @@ def main() -> None:
                          "return; gated arms + no-adapt/always-adapt "
                          "controls instead of the full policy table")
     ap.add_argument("--gate-ratio", type=float, default=1.5)
+    ap.add_argument("--gate-chup-epochs", type=int, default=3,
+                    help="repeats of the drifted CHUP segment in the gated "
+                         "stream (sustained drift; see gated_stream)")
     ap.add_argument("--seed", type=int, default=None,
                     help="task.seed for source training (seed-variance "
                          "protocol); suffixes the saved checkpoint")
@@ -344,18 +354,18 @@ def main() -> None:
         # the identical stream.
         op = dict(steps=args.steps, lr=args.lr)
         emit({**run_no_adapt(manager, cfg, device_transform,
-                             stream=gated_stream(manager, suffix=True)),
+                             stream=gated_stream(manager, suffix=True, chup_epochs=args.gate_chup_epochs)),
               "arm": "no_adapt"})
         row = run_policy(manager, cfg, device_transform, policy="continual",
-                         guard=True, stream=gated_stream(manager, suffix=True), **op)
+                         guard=True, stream=gated_stream(manager, suffix=True, chup_epochs=args.gate_chup_epochs), **op)
         emit({**row, "arm": "always_adapt"})
         row = run_policy(manager, cfg, device_transform, policy="continual",
                          guard=True, gate_ratio=args.gate_ratio,
-                         stream=gated_stream(manager, suffix=True), **op)
+                         stream=gated_stream(manager, suffix=True, chup_epochs=args.gate_chup_epochs), **op)
         emit({**row, "arm": "gated"})
         row = run_policy(manager, cfg, device_transform, policy="continual",
                          guard=True, gate_ratio=args.gate_ratio, period=2,
-                         stream=gated_stream(manager, suffix=True), **op)
+                         stream=gated_stream(manager, suffix=True, chup_epochs=args.gate_chup_epochs), **op)
         emit({**row, "arm": "gated_reprobe_every2"})
 
         gated = rows[2]
