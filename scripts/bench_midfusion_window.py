@@ -103,6 +103,12 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--skip-b2", action="store_true")
+    ap.add_argument("--protocols", nargs="+", default=None,
+                    help="subset of {whole_b1, window_b1, window_b2} — the "
+                         "whole-volume fused step's cold compile alone can "
+                         "eat a wall budget; the r2-measured 3.18 baseline "
+                         "already exists, so reruns can target the windowed "
+                         "protocols only")
     args = ap.parse_args()
 
     import jax
@@ -117,6 +123,8 @@ def main() -> None:
     protocols = [("whole_b1", 1, False), ("window_b1", 1, True)]
     if not args.skip_b2:
         protocols.append(("window_b2", 2, True))
+    if args.protocols:
+        protocols = [p for p in protocols if p[0] in set(args.protocols)]
 
     for name, batch, window in protocols:
         x = jnp.asarray((rng.randn(batch, *SHAPE) * 100).astype(np.float32))
