@@ -71,7 +71,8 @@ def ensure_fixture(root: str) -> str:
 
 
 def train_source(manifest: str, epochs: int, out_root: str, resume: str = None,
-                 model: str = "unet", eval_batch: int = 8, seed: int = None):
+                 model: str = "unet", eval_batch: int = 8, seed: int = None,
+                 extra=()):
     """Train the source model (default: the flagship UNet) on the source
     centers; returns (manager, cfg). With ``resume`` (a checkpoint path sans
     extension), training is skipped and the checkpoint is loaded instead —
@@ -115,6 +116,7 @@ def train_source(manifest: str, epochs: int, out_root: str, resume: str = None,
         # model init AND the training batch schedule; the split stays pinned
         # (dataset.split_seed is separate) so every seed sees the same data
         overrides.append(f"task.seed={int(seed)}")
+    overrides.extend(extra)
     return bring_up(overrides, resume=resume, tag=f"validate_tta_{model}")
 
 
@@ -203,6 +205,11 @@ def main() -> None:
                          "methods need headroom: memo n_views=4 steps=8 at "
                          "whole-volume batch 8 exceeds one v5e chip's HBM by "
                          "a measured 5.0G — use 4 there")
+    ap.add_argument("--train-extra", nargs="*", default=[],
+                    help="extra config overrides for source training (e.g. "
+                         "model.remat=true training.batch_size=4 — swin at "
+                         "batch 8 no-remat measured 0.4G over one chip's "
+                         "HBM)")
     ap.add_argument("--seed", type=int, default=None,
                     help="task.seed for source training (seed-variance "
                          "protocol); also suffixes the saved checkpoint "
@@ -230,7 +237,8 @@ def main() -> None:
     manifest = ensure_fixture(args.fixture)
     manager, cfg = train_source(manifest, args.epochs, os.path.join(args.fixture, "runs"),
                                 resume=args.resume, model=args.model,
-                                eval_batch=args.eval_batch, seed=args.seed)
+                                eval_batch=args.eval_batch, seed=args.seed,
+                                extra=args.train_extra)
     if args.flip_axes:
         from multimodal_tta_tpu.conf import ConfigNode
 
